@@ -1,0 +1,89 @@
+"""Checkpoint tests: save→restore bit-identical resume + the Stage-I→Stage-II
+cross-model restore (SURVEY.md §5.4 — the one nontrivial checkpoint
+behavior)."""
+
+import os
+
+import jax
+import numpy as np
+
+from text_to_image_tpu.train import checkpoint as C
+from text_to_image_tpu.train.steps import init_train_state, make_train_step
+from text_to_image_tpu.utils import prng
+from tests.helpers import make_batch, tiny_config
+
+
+def _trees_equal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_restore_bit_identical(tmp_path):
+    cfg = tiny_config("gancls")
+    ts = init_train_state(prng.base_key(0), cfg)
+    step = make_train_step(cfg)
+    ts, _ = step(ts, make_batch(cfg))
+
+    mgr = C.CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, jax.device_get(ts))
+
+    ts_fresh = init_train_state(prng.base_key(0), cfg)
+    restored, rstep = mgr.restore(ts_fresh)
+    assert rstep == 1
+    _trees_equal(ts.g_params, restored.g_params)
+    _trees_equal(ts.d_params, restored.d_params)
+    _trees_equal(ts.g_opt, restored.g_opt)
+    mgr.close()
+
+
+def test_resume_continues_identically(tmp_path):
+    """train 2 steps straight == train 1, checkpoint, restore, train 1."""
+    cfg = tiny_config("gancls")
+    step = make_train_step(cfg)
+
+    ts_a = init_train_state(prng.base_key(0), cfg)
+    ts_a, _ = step(ts_a, make_batch(cfg, seed=0))
+    ts_a, _ = step(ts_a, make_batch(cfg, seed=1))
+
+    ts_b = init_train_state(prng.base_key(0), cfg)
+    ts_b, _ = step(ts_b, make_batch(cfg, seed=0))
+    mgr = C.CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, jax.device_get(ts_b))
+    ts_b2, _ = mgr.restore(init_train_state(prng.base_key(0), cfg))
+    ts_b2, _ = step(ts_b2, make_batch(cfg, seed=1))
+
+    _trees_equal(jax.device_get(ts_a.g_params), jax.device_get(ts_b2.g_params))
+    _trees_equal(jax.device_get(ts_a.d_params), jax.device_get(ts_b2.d_params))
+    mgr.close()
+
+
+def test_latest_step_none_when_empty(tmp_path):
+    mgr = C.CheckpointManager(str(tmp_path / "empty"))
+    cfg = tiny_config("gancls")
+    ts = init_train_state(prng.base_key(0), cfg)
+    same, step = mgr.restore(ts)
+    assert step is None and same is ts
+    mgr.close()
+
+
+def test_stage1_cross_restore(tmp_path):
+    """Stage-II init loads the trained Stage-I generator from its checkpoint."""
+    cfg1 = tiny_config("stackgan_stage1", g_steps=1)
+    ts1 = init_train_state(prng.base_key(0), cfg1)
+    ts1, _ = make_train_step(cfg1)(ts1, make_batch(cfg1))
+    mgr = C.CheckpointManager(str(tmp_path / "s1"))
+    mgr.save(1, jax.device_get(ts1))
+    mgr.close()
+
+    s1_params, s1_state = C.load_stage1_generator(
+        str(tmp_path / "s1"), init_train_state(prng.base_key(0), cfg1))
+    _trees_equal(jax.device_get(ts1.g_params), s1_params)
+
+    cfg2 = tiny_config("stackgan_stage2", g_steps=1)
+    ts2 = init_train_state(prng.base_key(1), cfg2, stage1=(s1_params, s1_state))
+    _trees_equal(ts2.aux["stage1_g_params"], s1_params)
+    # and the stage-2 step runs with the restored stage-1 inside
+    _, metrics = make_train_step(cfg2)(ts2, make_batch(cfg2))
+    assert np.isfinite(float(metrics["g_loss"]))

@@ -1,0 +1,68 @@
+"""Config system tests: native + reference-style YAML, overrides, errors."""
+
+import pytest
+
+from text_to_image_tpu.config import Config, config_from_dict, load_config
+
+
+def test_defaults():
+    cfg = Config()
+    assert cfg.gan.z_dim == 100
+    assert cfg.gan.embed_dim == 1024
+    assert cfg.train.coeff.kl == 2.0
+    assert cfg.train.batch_size == 64
+
+
+def test_native_yaml(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text("model: wgancls\ntrain:\n  n_critic: 5\n  coeff:\n    gp_lambda: 5.0\n")
+    cfg = load_config(str(p))
+    assert cfg.model == "wgancls"
+    assert cfg.train.n_critic == 5
+    assert cfg.train.coeff.gp_lambda == 5.0
+    assert cfg.gan.z_dim == 100  # defaults preserved
+
+
+def test_reference_style_yaml(tmp_path):
+    """Reference UPPERCASE keys (StackGAN-style) map onto the same tree."""
+    p = tmp_path / "ref.yml"
+    p.write_text(
+        "DATASET_NAME: flowers\n"
+        "EMBEDDING_TYPE: cnn-rnn\n"
+        "Z_DIM: 100\n"
+        "GPU_ID: 0\n"
+        "GAN:\n  GF_DIM: 96\n  DF_DIM: 48\n"
+        "TRAIN:\n  BATCH_SIZE: 32\n  MAX_EPOCH: 120\n"
+        "  COEFF:\n    KL: 2.0\n")
+    cfg = load_config(str(p))
+    assert cfg.data.dataset_name == "flowers"
+    assert cfg.gan.gf_dim == 96
+    assert cfg.gan.df_dim == 48
+    assert cfg.train.batch_size == 32
+    assert cfg.train.max_epoch == 120
+
+
+def test_unknown_key_raises():
+    with pytest.raises(ValueError, match="Unknown config keys"):
+        config_from_dict({"NOT_A_KEY": 1})
+
+
+def test_shipped_configs_load():
+    import glob
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = glob.glob(os.path.join(root, "*.yml"))
+    assert len(paths) >= 5
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.model in ("gancls", "wgancls", "stackgan_stage1",
+                             "stackgan_stage2")
+
+
+def test_overrides():
+    cfg = load_config.__wrapped__ if hasattr(load_config, "__wrapped__") else None
+    from text_to_image_tpu.config import config_from_dict
+    c = config_from_dict({"model": "gancls", "seed": 3})
+    assert c.seed == 3
+    c2 = c.replace(seed=9)
+    assert c2.seed == 9 and c.seed == 3

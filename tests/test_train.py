@@ -1,0 +1,102 @@
+"""Train-step tests: one compiled program per family, determinism, schedules
+(SURVEY.md §4 integration plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text_to_image_tpu.train.steps import init_train_state, make_train_step
+from text_to_image_tpu.utils import prng
+from tests.helpers import make_batch, tiny_config
+
+
+def _leaf_changed(a, b):
+    return any(not np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+@pytest.mark.parametrize("model,kw", [
+    ("gancls", {}),
+    ("gancls", {"use_interpolation": True}),
+    ("wgancls", {"n_critic": 2, "g_steps": 1, "beta1": 0.0}),
+    ("stackgan_stage1", {"g_steps": 1}),
+    ("stackgan_stage2", {"g_steps": 1}),
+])
+def test_one_step_updates_and_finite(model, kw):
+    cfg = tiny_config(model, **kw)
+    ts = init_train_state(prng.base_key(0), cfg, steps_per_epoch=10)
+    step = make_train_step(cfg, steps_per_epoch=10)
+    batch = make_batch(cfg)
+
+    g0 = jax.device_get(ts.g_params)
+    d0 = jax.device_get(ts.d_params)
+    ts2, metrics = step(ts, batch)
+
+    assert int(ts2.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert _leaf_changed(g0, ts2.g_params), "generator params unchanged"
+    assert _leaf_changed(d0, ts2.d_params), "discriminator params unchanged"
+    if model == "stackgan_stage2":
+        # frozen stage1 untouched
+        s0 = jax.tree.leaves(ts2.aux["stage1_g_params"])
+        assert all(np.isfinite(np.asarray(x)).all() for x in s0)
+
+
+def test_wgan_metrics_include_gp_and_wdist():
+    cfg = tiny_config("wgancls", n_critic=2, g_steps=1)
+    ts = init_train_state(prng.base_key(0), cfg)
+    step = make_train_step(cfg)
+    _, metrics = step(ts, make_batch(cfg))
+    assert "gp" in metrics and "w_dist" in metrics
+    assert float(metrics["gp"]) >= 0
+
+
+def test_kl_metric_for_ca_models():
+    cfg = tiny_config("stackgan_stage1", g_steps=1)
+    ts = init_train_state(prng.base_key(0), cfg)
+    step = make_train_step(cfg)
+    _, metrics = step(ts, make_batch(cfg))
+    assert "kl" in metrics and float(metrics["kl"]) >= 0
+
+
+def test_interp_term_present_only_when_enabled():
+    cfg = tiny_config("gancls")
+    ts = init_train_state(prng.base_key(0), cfg)
+    _, m0 = make_train_step(cfg)(ts, make_batch(cfg))
+    assert "g_interp" not in m0
+
+    cfg2 = tiny_config("gancls", use_interpolation=True)
+    ts2 = init_train_state(prng.base_key(0), cfg2)
+    _, m1 = make_train_step(cfg2)(ts2, make_batch(cfg2))
+    assert "g_interp" in m1
+
+
+def test_determinism_across_reruns():
+    """Same seed + same data ⇒ identical metrics and params (PRNG discipline
+    via fold_in(base, step))."""
+    def run():
+        cfg = tiny_config("gancls")
+        ts = init_train_state(prng.base_key(0), cfg)
+        step = make_train_step(cfg)
+        for i in range(2):
+            ts, m = step(ts, make_batch(cfg, seed=i))
+        return jax.device_get((ts.g_params, m))
+
+    (p1, m1), (p2, m2) = run(), run()
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+    assert m1.keys() == m2.keys()
+    for k in m1:
+        np.testing.assert_array_equal(m1[k], m2[k])
+
+
+def test_multi_step_progression():
+    cfg = tiny_config("gancls")
+    ts = init_train_state(prng.base_key(0), cfg)
+    step = make_train_step(cfg)
+    for i in range(3):
+        ts, metrics = step(ts, make_batch(cfg, seed=i))
+    assert int(ts.step) == 3
+    assert np.isfinite(float(metrics["g_loss"]))

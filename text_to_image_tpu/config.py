@@ -1,0 +1,236 @@
+"""Typed configuration system.
+
+The reference uses a global easydict tree in ``utils/config.py`` with
+recursive YAML override (``cfg_from_file``) and per-experiment YAMLs under
+``models/*/cfg/`` (StackGAN lineage) — see SURVEY.md §5.6.  This rebuild keeps
+the same knobs (Z_DIM, EMBED_DIM, COMPRESSED_EMBED_DIM, TRAIN.BATCH_SIZE,
+TRAIN.COEFF.KL, GAN.GF_DIM/DF_DIM, ...) but as typed dataclasses, so configs
+are pytree-friendly, validated at load time, and hashable for jit static args.
+
+Reference-style UPPERCASE YAML files (e.g. ``TRAIN: {BATCH_SIZE: 64}``) load
+directly: `load_config` understands both the reference key names and our
+snake_case names, so a user of the reference can bring their YAMLs over 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class GanConfig:
+    """Network width / conditioning dims (reference ``cfg.GAN`` + top level)."""
+
+    gf_dim: int = 128              # generator base feature width (GAN.GF_DIM)
+    df_dim: int = 64               # discriminator base feature width (GAN.DF_DIM)
+    z_dim: int = 100               # latent dim (Z_DIM)
+    embed_dim: int = 1024          # char-CNN-RNN sentence embedding dim (EMBED_DIM)
+    compressed_embed_dim: int = 128  # FC-compressed text dim (COMPRESSED_EMBED_DIM)
+    ca_dim: int = 128              # StackGAN conditioning-augmentation dim
+    res_blocks: int = 2            # StackGAN Stage-II residual block count
+
+
+@dataclass(frozen=True)
+class CoeffConfig:
+    """Loss-term coefficients (reference ``cfg.TRAIN.COEFF``)."""
+
+    kl: float = 2.0                # CA KL-divergence weight (TRAIN.COEFF.KL)
+    gp_lambda: float = 10.0        # WGAN gradient-penalty λ (arXiv:1704.00028)
+    mismatch_alpha: float = 0.5    # weight on the wrong-caption (matching-aware) term
+    interp_beta: float = 0.5       # GAN-INT embedding interpolation coefficient
+    interp_weight: float = 0.5     # weight of the GAN-INT generator loss term
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64           # TRAIN.BATCH_SIZE (global; sharded over mesh 'data')
+    max_epoch: int = 600           # TRAIN.MAX_EPOCH
+    generator_lr: float = 2e-4     # TRAIN.GENERATOR_LR
+    discriminator_lr: float = 2e-4 # TRAIN.DISCRIMINATOR_LR
+    beta1: float = 0.5             # Adam β1 (DCGAN recipe; WGAN-GP uses 0.0)
+    beta2: float = 0.9
+    n_critic: int = 1              # D steps per G step (5 for WGAN-CLS)
+    g_steps: int = 2               # G steps per schedule tick (GAN-CLS runs G twice)
+    use_interpolation: bool = False  # GAN-INT extra generator term
+    lr_decay_epoch: int = 100      # halve LRs every this many epochs (StackGAN recipe)
+    lr_decay_factor: float = 0.5
+    snapshot_interval: int = 500   # steps between checkpoints
+    sample_interval: int = 200     # steps between sample grids
+    summary_interval: int = 20     # steps between metric writes
+    coeff: CoeffConfig = field(default_factory=CoeffConfig)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset_name: str = "flowers"  # DATASET_NAME: flowers | birds | synthetic
+    data_dir: str = "data/flowers"
+    embedding_type: str = "cnn-rnn"  # EMBEDDING_TYPE
+    image_size: int = 64           # training resolution of this stage
+    caption_window: int = 4        # captions sampled+averaged per image (next_batch window)
+    random_flip: bool = True
+    random_crop: bool = True
+    workers: int = 2               # host pipeline worker threads
+    prefetch: int = 2              # batches kept in flight to HBM
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. data=-1 means 'all remaining devices'."""
+
+    data: int = -1                 # data-parallel axis size
+    model: int = 1                 # tensor-parallel axis (shards wide FC layers)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: str = "gancls"          # gancls | wgancls | stackgan_stage1 | stackgan_stage2
+    gan: GanConfig = field(default_factory=GanConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+    dtype: str = "bfloat16"        # compute dtype (params stay float32)
+    checkpoint_dir: str = "checkpoints"
+    sample_dir: str = "samples"
+    log_dir: str = "logs"
+    stage1_checkpoint: str = ""    # StackGAN Stage-II restores Stage-I G from here
+    use_pallas: bool = True        # fused Pallas kernels on TPU (auto-off on CPU)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# --- Reference-key → dataclass-path mapping -------------------------------
+# Reference YAMLs (StackGAN-style) use nested UPPERCASE keys; map them onto
+# the dataclass tree so `load_config` accepts both conventions.
+_REF_KEY_MAP: Dict[str, str] = {
+    "DATASET_NAME": "data.dataset_name",
+    "EMBEDDING_TYPE": "data.embedding_type",
+    "DATA_DIR": "data.data_dir",
+    "IMSIZE": "data.image_size",
+    "IMAGE_SIZE": "data.image_size",
+    "Z_DIM": "gan.z_dim",
+    "EMBED_DIM": "gan.embed_dim",
+    "COMPRESSED_EMBED_DIM": "gan.compressed_embed_dim",
+    "GPU_ID": None,  # meaningless on TPU; accepted and ignored
+    "CONFIG_NAME": None,
+    "MODEL": "model",
+    "GAN.GF_DIM": "gan.gf_dim",
+    "GAN.DF_DIM": "gan.df_dim",
+    "GAN.EMBEDDING_DIM": "gan.ca_dim",
+    "GAN.CONDITION_DIM": "gan.ca_dim",
+    "GAN.R_NUM": "gan.res_blocks",
+    "GAN.NETWORK_TYPE": None,
+    "TRAIN.BATCH_SIZE": "train.batch_size",
+    "TRAIN.MAX_EPOCH": "train.max_epoch",
+    "TRAIN.GENERATOR_LR": "train.generator_lr",
+    "TRAIN.DISCRIMINATOR_LR": "train.discriminator_lr",
+    "TRAIN.LR_DECAY_EPOCH": "train.lr_decay_epoch",
+    "TRAIN.SNAPSHOT_INTERVAL": "train.snapshot_interval",
+    "TRAIN.N_CRITIC": "train.n_critic",
+    "TRAIN.FLAG": None,  # reference train/eval switch — ours is a CLI flag
+    "TRAIN.PRETRAINED_MODEL": "stage1_checkpoint",
+    "TRAIN.COEFF.KL": "train.coeff.kl",
+    "TRAIN.COEFF.GP": "train.coeff.gp_lambda",
+    "TRAIN.COEFF.ALPHA": "train.coeff.mismatch_alpha",
+    "TRAIN.COEFF.INTERP": "train.coeff.interp_weight",
+}
+
+
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def _dataclass_paths(cls, prefix: str = "") -> Dict[str, Any]:
+    """Map of dotted path → field type for every leaf field of a config tree."""
+    out: Dict[str, Any] = {}
+    for f in fields(cls):
+        path = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.default_factory, type) and dataclasses.is_dataclass(f.default_factory)
+        ):
+            out.update(_dataclass_paths(f.default_factory, path + "."))
+        else:
+            out[path] = f.type
+    return out
+
+
+_LEAF_PATHS = _dataclass_paths(Config)
+
+
+def _set_path(tree: Dict[str, Any], path: str, value: Any) -> None:
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _build(cls, overrides: Dict[str, Any]):
+    kwargs = {}
+    for f in fields(cls):
+        if f.name in overrides:
+            v = overrides[f.name]
+            if isinstance(v, dict):
+                kwargs[f.name] = _build(f.default_factory, v)
+            else:
+                kwargs[f.name] = _coerce(v, f.type)
+        elif dataclasses.is_dataclass(getattr(f, "default_factory", None)) or (
+            isinstance(f.default_factory, type) and dataclasses.is_dataclass(f.default_factory)
+        ):
+            pass  # default_factory handles it
+    return cls(**kwargs)
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    if typ in ("int", int) and isinstance(value, float) and value.is_integer():
+        return int(value)
+    if typ in ("float", float) and isinstance(value, int):
+        return float(value)
+    return value
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    """Build a Config from a (possibly reference-style) nested dict."""
+    flat = _flatten(raw)
+    tree: Dict[str, Any] = {}
+    unknown = []
+    for key, value in flat.items():
+        if key in _REF_KEY_MAP:
+            target = _REF_KEY_MAP[key]
+            if target is None:
+                continue
+        elif key.lower() in _LEAF_PATHS:
+            target = key.lower()
+        elif key in _LEAF_PATHS:
+            target = key
+        else:
+            unknown.append(key)
+            continue
+        _set_path(tree, target, value)
+    if unknown:
+        raise ValueError(
+            f"Unknown config keys: {unknown}. Known reference keys: "
+            f"{sorted(k for k in _REF_KEY_MAP)}; known native keys: {sorted(_LEAF_PATHS)}"
+        )
+    return _build(Config, tree)
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Load a YAML config file (reference-style or native keys)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    if overrides:
+        raw = {**raw, **overrides}
+    return config_from_dict(raw)

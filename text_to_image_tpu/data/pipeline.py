@@ -1,0 +1,83 @@
+"""Host→HBM input pipeline.
+
+The reference calls ``dataset.next_batch`` synchronously inside the train
+loop (SURVEY.md §3.1) — on TPU that would stall the device between steps.
+Here a background thread assembles numpy batches while the device computes,
+and `jax.device_put` with a batch-axis `NamedSharding` moves them to HBM so
+each chip receives only its shard.  A small queue keeps `prefetch` batches in
+flight (double buffering); with jit's async dispatch the host stays ahead of
+the device.
+
+A training *step* may consume several data batches (WGAN n_critic draws a
+fresh batch per critic update — SURVEY.md §3.2), so the pipeline can stack
+``batches_per_step`` batches on a leading axis.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from text_to_image_tpu.parallel.mesh import MeshEnv
+
+
+class InputPipeline:
+    def __init__(self, dataset, batch_size: int, env: Optional[MeshEnv] = None,
+                 window: int = 4, batches_per_step: int = 1,
+                 prefetch: int = 2):
+        if env is not None and batch_size % env.data_size != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by data axis "
+                f"{env.data_size}")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.window = window
+        self.batches_per_step = batches_per_step
+        self.env = env
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _make_step_batch(self) -> Dict[str, np.ndarray]:
+        # always stacked [K, B, ...] — the train step scans over the leading
+        # per-critic-update axis (K = n_critic; K=1 for the CE families)
+        batches = [self.dataset.next_batch(self.batch_size, self.window)
+                   for _ in range(self.batches_per_step)]
+        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self._make_step_batch()
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        host = self._q.get()
+        if self.env is None:
+            return host
+        # batch axis (axis 1, after the per-critic stack axis) sharded over
+        # the mesh 'data' axis
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self.env.mesh, P(None, "data"))
+        return jax.device_put(host, sharding)
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)

@@ -1,0 +1,134 @@
+"""StackGAN-format dataset loader (rebuild of the reference's TextDataset).
+
+The reference (SURVEY.md §2 "Dataset loader") reads StackGAN-style pickles
+from ``<data_dir>/<split>/``:
+
+* ``76images.pickle``  — N×76×76×3 uint8 (random-crop source for 64-px stages)
+* ``304images.pickle`` — N×304×304×3 uint8 (for the 256-px Stage-II)
+* ``char-CNN-RNN-embeddings.pickle`` — N×C×1024 float (C captions per image,
+  precomputed by reedscot/icml2016 — the text encoder is never run here)
+* ``filenames.pickle`` — N filenames
+* ``class_info.pickle`` — N integer class ids
+
+``next_batch`` serves matched (image, embedding) pairs plus a *wrong* image
+drawn from a different class (matching-aware discriminator), with random crop
++ horizontal flip augmentation and caption sub-sampling: ``window`` captions
+sampled per image and averaged (reference ``sample_embeddings``).
+
+All randomness flows from a seeded ``numpy.random.Generator`` so batches are
+deterministic and resumable.  Output images are float32 in the generator's
+tanh range [-1, 1].
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+
+# crop-source sizes per training resolution (StackGAN convention: images are
+# pre-resized ~19% larger than the crop target)
+CROP_SOURCE = {64: 76, 256: 304}
+
+
+def _load_pickle(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f, encoding="latin1")
+
+
+class TextDataset:
+    def __init__(self, data_dir: str, split: str = "train",
+                 image_size: int = 64, embed_dim: int = 1024,
+                 random_crop: bool = True, random_flip: bool = True,
+                 seed: int = 0):
+        base = os.path.join(data_dir, split)
+        src = CROP_SOURCE.get(image_size)
+        img_file = (os.path.join(base, f"{src}images.pickle") if src else None)
+        if img_file is None or not os.path.exists(img_file):
+            raise FileNotFoundError(
+                f"no {src}images.pickle for size {image_size} under {base} — "
+                f"run text_to_image_tpu.data.preprocess first")
+        self.images = np.asarray(_load_pickle(img_file), dtype=np.uint8)
+        self.embeddings = np.asarray(
+            _load_pickle(os.path.join(base, "char-CNN-RNN-embeddings.pickle")),
+            dtype=np.float32)
+        self.filenames = _load_pickle(os.path.join(base, "filenames.pickle"))
+        class_info = _load_pickle(os.path.join(base, "class_info.pickle"))
+        self.class_ids = np.asarray(class_info, dtype=np.int64)
+
+        if self.embeddings.shape[-1] != embed_dim:
+            raise ValueError(
+                f"embedding dim {self.embeddings.shape[-1]} != cfg {embed_dim}")
+        self.image_size = image_size
+        self.random_crop = random_crop
+        self.random_flip = random_flip
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.images)
+
+    @property
+    def embed_dim(self) -> int:
+        return int(self.embeddings.shape[-1])
+
+    # -- augmentation ----------------------------------------------------
+
+    def _crop_flip(self, imgs: np.ndarray) -> np.ndarray:
+        n, h, w, _ = imgs.shape
+        s = self.image_size
+        out = np.empty((n, s, s, 3), dtype=np.uint8)
+        if self.random_crop:
+            ys = self._rng.integers(0, h - s + 1, size=n)
+            xs = self._rng.integers(0, w - s + 1, size=n)
+        else:
+            ys = np.full(n, (h - s) // 2)
+            xs = np.full(n, (w - s) // 2)
+        flips = (self._rng.random(n) < 0.5) if self.random_flip else np.zeros(n, bool)
+        for i in range(n):
+            patch = imgs[i, ys[i]:ys[i] + s, xs[i]:xs[i] + s]
+            out[i] = patch[:, ::-1] if flips[i] else patch
+        return out
+
+    def _sample_embeddings(self, idx: np.ndarray, window: int) -> np.ndarray:
+        """Sample `window` captions per image and average (reference
+        ``sample_embeddings``); window >= #captions uses all of them."""
+        embs = self.embeddings[idx]          # [B, C, E]
+        n, c, e = embs.shape
+        if window >= c:
+            return embs.mean(axis=1)
+        picks = np.stack([self._rng.choice(c, size=window, replace=False)
+                          for _ in range(n)])
+        rows = np.arange(n)[:, None]
+        return embs[rows, picks].mean(axis=1)
+
+    def _wrong_indices(self, idx: np.ndarray) -> np.ndarray:
+        """A mismatched image per example: uniformly random with a different
+        class id (the matching-aware 'wrong' pair)."""
+        out = self._rng.integers(0, self.num_examples, size=len(idx))
+        for i, (j, w) in enumerate(zip(idx, out)):
+            while self.class_ids[w] == self.class_ids[j]:
+                w = self._rng.integers(0, self.num_examples)
+            out[i] = w
+        return out
+
+    # -- batching ---------------------------------------------------------
+
+    def next_batch(self, batch_size: int, window: int = 4) -> Dict[str, np.ndarray]:
+        idx = self._rng.integers(0, self.num_examples, size=batch_size)
+        wrong_idx = self._wrong_indices(idx)
+        real = self._crop_flip(self.images[idx])
+        wrong = self._crop_flip(self.images[wrong_idx])
+        emb = self._sample_embeddings(idx, window)
+        return {
+            "real": real.astype(np.float32) / 127.5 - 1.0,
+            "wrong": wrong.astype(np.float32) / 127.5 - 1.0,
+            "emb": emb,
+        }
+
+    def test_embeddings(self, n: Optional[int] = None) -> np.ndarray:
+        """First caption embedding per example (deterministic eval input)."""
+        embs = self.embeddings[:n] if n else self.embeddings
+        return embs[:, 0, :]

@@ -1,0 +1,142 @@
+"""Model registry: maps config ``model`` names onto a uniform `ModelBundle`
+the trainer/eval consume (reference: ``main.py`` dispatches on the model name
+in the YAML — SURVEY.md §1 L6).
+
+Bundle surface:
+* ``init(key)``                          → (g_params, g_state, d_params, d_state)
+* ``gen_apply(gp, gs, aux, z, emb, key, train, policy)`` → (img, new_gs, gen_aux)
+  (`aux` carries the frozen Stage-I generator for Stage-II; `gen_aux` carries
+  CA (μ, logσ²) when the family uses conditioning augmentation)
+* ``disc_apply`` / ``disc_streams``      → logits / stacked-stream logits
+* flags: ``is_wgan`` (critic + GP loss), ``has_ca`` (KL term),
+  ``resolution`` (output px).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+
+from text_to_image_tpu.config import Config
+from text_to_image_tpu.models import gancls, stackgan
+from text_to_image_tpu.ops import layers as L
+from text_to_image_tpu.utils import prng
+
+MODEL_NAMES = ("gancls", "wgancls", "stackgan_stage1", "stackgan_stage2")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelBundle:
+    name: str
+    resolution: int
+    is_wgan: bool
+    has_ca: bool
+    needs_stage1: bool
+    init: Callable
+    gen_apply: Callable
+    disc_apply: Callable
+    disc_streams: Callable
+
+
+def get_model(cfg: Config) -> ModelBundle:
+    name = cfg.model
+    res = cfg.data.image_size
+    gan = cfg.gan
+
+    if name in ("gancls", "wgancls"):
+        norm = "batch" if name == "gancls" else "layer"
+
+        def init(key):
+            kg, kd = jax.random.split(key)
+            gp, gs = gancls.generator_init(kg, gan, res)
+            dp, ds = gancls.discriminator_init(kd, gan, res, norm=norm)
+            return gp, gs, dp, ds
+
+        def gen_apply(gp, gs, aux, z, emb, key, train, policy):
+            img, new_gs = gancls.generator_apply(gp, gs, z, emb, train,
+                                                 policy, res)
+            return img, new_gs, {}
+
+        def disc_apply(dp, ds, x, emb, train, policy):
+            return gancls.discriminator_apply(dp, ds, x, emb, train, policy,
+                                              res, norm=norm)
+
+        def disc_streams(dp, ds, xs, embs, train, policy):
+            return gancls.discriminator_apply_streams(dp, ds, xs, embs, train,
+                                                      policy, res, norm=norm)
+
+        return ModelBundle(name, res, is_wgan=(name == "wgancls"),
+                           has_ca=False, needs_stage1=False, init=init,
+                           gen_apply=gen_apply, disc_apply=disc_apply,
+                           disc_streams=disc_streams)
+
+    if name == "stackgan_stage1":
+        # StackGAN's D compresses raw text to ca_dim before the join
+        d_gan = dataclasses.replace(gan, compressed_embed_dim=gan.ca_dim)
+
+        def init(key):
+            kg, kd = jax.random.split(key)
+            gp, gs = stackgan.stage1_generator_init(kg, gan, res)
+            dp, ds = gancls.discriminator_init(kd, d_gan, res, norm="batch")
+            return gp, gs, dp, ds
+
+        def gen_apply(gp, gs, aux, z, emb, key, train, policy):
+            return stackgan.stage1_generator_apply(gp, gs, z, emb, key, train,
+                                                   policy, res)
+
+        def disc_apply(dp, ds, x, emb, train, policy):
+            return gancls.discriminator_apply(dp, ds, x, emb, train, policy,
+                                              res, norm="batch")
+
+        def disc_streams(dp, ds, xs, embs, train, policy):
+            return gancls.discriminator_apply_streams(dp, ds, xs, embs, train,
+                                                      policy, res, norm="batch")
+
+        return ModelBundle(name, res, is_wgan=False, has_ca=True,
+                           needs_stage1=False, init=init,
+                           gen_apply=gen_apply, disc_apply=disc_apply,
+                           disc_streams=disc_streams)
+
+    if name == "stackgan_stage2":
+        lr_res = res // 4
+        d_gan = dataclasses.replace(gan, compressed_embed_dim=gan.ca_dim)
+
+        def init(key):
+            kg, kd = jax.random.split(key)
+            gp, gs = stackgan.stage2_generator_init(kg, gan, lr_res)
+            dp, ds = gancls.discriminator_init(kd, d_gan, res, norm="batch")
+            return gp, gs, dp, ds
+
+        def gen_apply(gp, gs, aux, z, emb, key, train, policy):
+            """Frozen Stage-I G produces the 64-px draft; Stage-II refines.
+
+            Stage-I runs with batch statistics (standard GAN sampling mode)
+            and its norm state/params receive no updates or gradients —
+            the reference's restore-and-freeze behavior (SURVEY.md §3.3).
+            """
+            k1, k2 = jax.random.split(key)
+            s1p = jax.lax.stop_gradient(aux["stage1_g_params"])
+            s1s = jax.lax.stop_gradient(aux["stage1_g_state"])
+            lr_img, _, _ = stackgan.stage1_generator_apply(
+                s1p, s1s, z, emb, k1, train=True, policy=policy,
+                resolution=lr_res)
+            lr_img = jax.lax.stop_gradient(lr_img)
+            return stackgan.stage2_generator_apply(gp, gs, lr_img, emb, k2,
+                                                   train, policy)
+
+        def disc_apply(dp, ds, x, emb, train, policy):
+            return gancls.discriminator_apply(dp, ds, x, emb, train, policy,
+                                              res, norm="batch")
+
+        def disc_streams(dp, ds, xs, embs, train, policy):
+            return gancls.discriminator_apply_streams(dp, ds, xs, embs, train,
+                                                      policy, res, norm="batch")
+
+        return ModelBundle(name, res, is_wgan=False, has_ca=True,
+                           needs_stage1=True, init=init,
+                           gen_apply=gen_apply, disc_apply=disc_apply,
+                           disc_streams=disc_streams)
+
+    raise ValueError(f"unknown model {name!r}; expected one of {MODEL_NAMES}")

@@ -1,0 +1,71 @@
+"""Checkpointing (rebuild of the reference's ``tf.train.Saver`` flow).
+
+Semantics preserved from SURVEY.md §5.4:
+* save every K steps under ``<ckpt_dir>/<model>/<dataset>/``,
+* restore-latest-on-start if a checkpoint exists,
+* cross-model restore: StackGAN Stage-II loads the Stage-I generator's
+  params/state from the Stage-I checkpoint (`load_stage1_generator`).
+
+Implemented on Orbax (atomic, async-capable, TPU-friendly); the saved tree is
+the full TrainState (both nets, norm state, both optimizer moments, step), so
+resume is bit-exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from text_to_image_tpu.train.state import TrainState
+
+
+def _abspath(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self._dir = _abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False),
+        )
+
+    def save(self, step: int, ts: TrainState) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(ts))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, ts_like: TrainState, step: Optional[int] = None
+                ) -> Tuple[TrainState, Optional[int]]:
+        """Restore latest (or `step`) into the structure of `ts_like`.
+        Returns (state, restored_step) — (ts_like, None) if nothing saved."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return ts_like, None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, ts_like)
+        restored = self._mgr.restore(step,
+                                     args=ocp.args.StandardRestore(abstract))
+        return restored, step
+
+    def close(self):
+        self._mgr.close()
+
+
+def load_stage1_generator(directory: str, ts_like: TrainState
+                          ) -> Tuple[Any, Any]:
+    """Cross-model restore: pull (g_params, g_state) of a trained Stage-I out
+    of its checkpoint, for freezing inside the Stage-II train state."""
+    mgr = CheckpointManager(directory)
+    restored, step = mgr.restore(ts_like)
+    mgr.close()
+    if step is None:
+        raise FileNotFoundError(f"no Stage-I checkpoint under {directory}")
+    return restored.g_params, restored.g_state

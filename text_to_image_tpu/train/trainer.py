@@ -1,0 +1,124 @@
+"""Host training loop (rebuild of the reference's per-model trainers —
+SURVEY.md §3.1 `GanClsTrainer.train` etc., one generic loop for all families).
+
+Responsibilities left on the host (everything else is inside the compiled
+step): feeding sharded batches, periodic metrics, sample grids, checkpoints,
+restore-latest-on-start, and Stage-I→Stage-II cross-restore.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from text_to_image_tpu.config import Config
+from text_to_image_tpu.data import get_dataset
+from text_to_image_tpu.data.pipeline import InputPipeline
+from text_to_image_tpu.eval.sampler import make_generator_fn, sample_grid
+from text_to_image_tpu.parallel.mesh import MeshEnv, create_mesh, replicated
+from text_to_image_tpu.train import checkpoint as ckpt
+from text_to_image_tpu.train.steps import init_train_state, make_train_step
+from text_to_image_tpu.utils import prng
+from text_to_image_tpu.utils.images import save_images
+from text_to_image_tpu.utils.metrics import MetricWriter, ThroughputMeter
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset=None, env: Optional[MeshEnv] = None,
+                 restore: bool = True):
+        self.cfg = cfg
+        self.env = env or create_mesh(model=cfg.mesh.model)
+        self.dataset = dataset if dataset is not None else get_dataset(cfg)
+        self.steps_per_epoch = max(
+            1, self.dataset.num_examples // cfg.train.batch_size)
+
+        stage1 = None
+        if cfg.model == "stackgan_stage2" and cfg.stage1_checkpoint:
+            stage1 = self._load_stage1()
+
+        key = prng.base_key(cfg.seed)
+        ts = init_train_state(key, cfg, self.steps_per_epoch, stage1=stage1)
+
+        run_dir = os.path.join(cfg.checkpoint_dir, cfg.model,
+                               cfg.data.dataset_name)
+        self.ckpt = ckpt.CheckpointManager(run_dir)
+        if restore:
+            ts, restored = self.ckpt.restore(ts)
+            if restored is not None:
+                print(f"restored checkpoint at step {restored}")
+        self.ts = replicated(self.env, ts)
+
+        self.step_fn = make_train_step(cfg, self.steps_per_epoch)
+        self.pipeline = InputPipeline(
+            self.dataset, cfg.train.batch_size, self.env,
+            window=cfg.data.caption_window,
+            batches_per_step=cfg.train.n_critic,
+            prefetch=cfg.data.prefetch)
+        self.metrics = MetricWriter(
+            os.path.join(cfg.log_dir, cfg.model, cfg.data.dataset_name))
+        self.meter = ThroughputMeter(
+            cfg.train.batch_size * cfg.train.n_critic)
+
+        # fixed eval inputs for comparable sample grids across training
+        self._gen = make_generator_fn(cfg)
+        n_samples = min(64, cfg.train.batch_size)
+        self._sample_emb = np.asarray(
+            self.dataset.test_embeddings(n_samples), np.float32)
+        self._sample_key = jax.random.fold_in(key, 2**30)
+
+    def _load_stage1(self):
+        """Stage-II cross-model restore: Stage-I G params from its run dir."""
+        import dataclasses
+        cfg1 = self.cfg.replace(
+            model="stackgan_stage1",
+            data=dataclasses.replace(self.cfg.data,
+                                     image_size=self.cfg.data.image_size // 4))
+        ts1 = init_train_state(prng.base_key(cfg1.seed), cfg1,
+                               self.steps_per_epoch)
+        run_dir = os.path.join(self.cfg.checkpoint_dir, "stackgan_stage1",
+                               self.cfg.data.dataset_name)
+        if os.path.isdir(self.cfg.stage1_checkpoint):
+            run_dir = self.cfg.stage1_checkpoint
+        return ckpt.load_stage1_generator(run_dir, ts1)
+
+    # ------------------------------------------------------------------
+
+    def train(self, num_steps: Optional[int] = None) -> None:
+        cfg = self.cfg
+        total = (num_steps if num_steps is not None
+                 else cfg.train.max_epoch * self.steps_per_epoch)
+        start = int(jax.device_get(self.ts.step))
+        for i in range(start, total):
+            batch = next(self.pipeline)
+            self.ts, metrics = self.step_fn(self.ts, batch)
+            ips = self.meter.tick()
+            if (i + 1) % cfg.train.summary_interval == 0:
+                if ips is not None:
+                    metrics = {**metrics, "images_per_sec": ips}
+                metrics = {**metrics, "epoch": i // self.steps_per_epoch}
+                self.metrics.write(i + 1, metrics)
+            if (i + 1) % cfg.train.sample_interval == 0:
+                self.save_samples(i + 1)
+            if (i + 1) % cfg.train.snapshot_interval == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+        self.pipeline.close()
+
+    def save_samples(self, step: int) -> str:
+        imgs = sample_grid(self._gen, self.ts, self.cfg, self._sample_emb,
+                           self._sample_key)
+        path = os.path.join(self.cfg.sample_dir, self.cfg.model,
+                            self.cfg.data.dataset_name, f"train_{step:08d}.png")
+        return save_images(imgs, path)
+
+    def save_checkpoint(self) -> None:
+        step = int(jax.device_get(self.ts.step))
+        self.ckpt.save(step, jax.device_get(self.ts))
+
+    def close(self):
+        self.pipeline.close()
+        self.metrics.close()
+        self.ckpt.close()

@@ -1,0 +1,62 @@
+"""Metric writer (rebuild of the reference's tf.summary/FileWriter — SURVEY
+§5.5) plus a steady-state throughput meter, since images/sec/chip is the
+framework's north-star metric.
+
+Metrics land as JSON-lines (one dict per write) — trivially plottable and
+diffable; a TensorBoard writer can be layered on the same interface later.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+class MetricWriter:
+    def __init__(self, log_dir: str, name: str = "train",
+                 also_print: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self._path = os.path.join(log_dir, f"{name}.jsonl")
+        self._f = open(self._path, "a")
+        self._print = also_print
+
+    def write(self, step: int, metrics: Dict) -> None:
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            rec[k] = float(jax.device_get(v)) if hasattr(v, "dtype") else v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._print:
+            body = " ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                            for k, v in rec.items() if k != "step")
+            print(f"[step {rec['step']}] {body}")
+
+    def close(self):
+        self._f.close()
+
+
+class ThroughputMeter:
+    """Images/sec over a sliding window, excluding the first (compile) step."""
+
+    def __init__(self, images_per_step: int):
+        self.images_per_step = images_per_step
+        self._t0: Optional[float] = None
+        self._steps = 0
+
+    def tick(self) -> Optional[float]:
+        now = time.perf_counter()
+        if self._t0 is None:        # first tick after compile: start window
+            self._t0 = now
+            self._steps = 0
+            return None
+        self._steps += 1
+        dt = now - self._t0
+        return self.images_per_step * self._steps / dt if dt > 0 else None
+
+    def reset(self):
+        self._t0 = None
+        self._steps = 0

@@ -28,6 +28,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from text_to_image_tpu.data import native
+
 # crop-source sizes per training resolution (StackGAN convention: images are
 # pre-resized ~19% larger than the crop target)
 CROP_SOURCE = {64: 76, 256: 304}
@@ -76,10 +78,12 @@ class TextDataset:
 
     # -- augmentation ----------------------------------------------------
 
-    def _crop_flip(self, imgs: np.ndarray) -> np.ndarray:
-        n, h, w, _ = imgs.shape
+    def _crop_flip(self, idx: np.ndarray) -> np.ndarray:
+        """Gather + crop + flip + normalize → float32 [-1, 1] (native C++
+        kernel when available; numpy fallback inside `native`)."""
+        n = len(idx)
+        _, h, w, _ = self.images.shape
         s = self.image_size
-        out = np.empty((n, s, s, 3), dtype=np.uint8)
         if self.random_crop:
             ys = self._rng.integers(0, h - s + 1, size=n)
             xs = self._rng.integers(0, w - s + 1, size=n)
@@ -87,22 +91,20 @@ class TextDataset:
             ys = np.full(n, (h - s) // 2)
             xs = np.full(n, (w - s) // 2)
         flips = (self._rng.random(n) < 0.5) if self.random_flip else np.zeros(n, bool)
-        for i in range(n):
-            patch = imgs[i, ys[i]:ys[i] + s, xs[i]:xs[i] + s]
-            out[i] = patch[:, ::-1] if flips[i] else patch
-        return out
+        return native.crop_flip_normalize(self.images, idx, s, ys, xs, flips)
 
     def _sample_embeddings(self, idx: np.ndarray, window: int) -> np.ndarray:
         """Sample `window` captions per image and average (reference
         ``sample_embeddings``); window >= #captions uses all of them."""
-        embs = self.embeddings[idx]          # [B, C, E]
-        n, c, e = embs.shape
+        n = len(idx)
+        c = self.embeddings.shape[1]
         if window >= c:
-            return embs.mean(axis=1)
-        picks = np.stack([self._rng.choice(c, size=window, replace=False)
-                          for _ in range(n)])
-        rows = np.arange(n)[:, None]
-        return embs[rows, picks].mean(axis=1)
+            picks = np.tile(np.arange(c), (n, 1))
+            window = c
+        else:
+            picks = np.stack([self._rng.choice(c, size=window, replace=False)
+                              for _ in range(n)])
+        return native.gather_average_embeddings(self.embeddings, idx, picks)
 
     def _wrong_indices(self, idx: np.ndarray) -> np.ndarray:
         """A mismatched image per example: uniformly random with a different
@@ -119,13 +121,10 @@ class TextDataset:
     def next_batch(self, batch_size: int, window: int = 4) -> Dict[str, np.ndarray]:
         idx = self._rng.integers(0, self.num_examples, size=batch_size)
         wrong_idx = self._wrong_indices(idx)
-        real = self._crop_flip(self.images[idx])
-        wrong = self._crop_flip(self.images[wrong_idx])
-        emb = self._sample_embeddings(idx, window)
         return {
-            "real": real.astype(np.float32) / 127.5 - 1.0,
-            "wrong": wrong.astype(np.float32) / 127.5 - 1.0,
-            "emb": emb,
+            "real": self._crop_flip(idx),
+            "wrong": self._crop_flip(wrong_idx),
+            "emb": self._sample_embeddings(idx, window),
         }
 
     def test_embeddings(self, n: Optional[int] = None) -> np.ndarray:

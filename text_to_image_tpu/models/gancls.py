@@ -32,6 +32,24 @@ from text_to_image_tpu.ops import layers as L
 from text_to_image_tpu.utils import prng
 
 
+def _text_join(join_params, h: jax.Array, t: jax.Array,
+               allow_pallas: bool = True) -> jax.Array:
+    """conv1x1(concat(h, tile(t))) — fused Pallas kernel on TPU (the concat
+    and tiled-text tensors never hit HBM), lax composition elsewhere.
+
+    `allow_pallas=False` for the WGAN critic: the gradient penalty
+    differentiates the critic twice, and the kernel's custom_vjp (like any
+    custom_vjp) does not support higher-order AD — the lax composition lets
+    XLA build the grad-of-grad program (SURVEY.md §7 hard part #1)."""
+    from text_to_image_tpu.ops.pallas import fused
+    if allow_pallas and fused.pallas_enabled():
+        w = join_params["w"]                        # [1,1,Cx+E,Co]
+        cx = h.shape[-1]
+        return fused.conditioning_join(h, t, w[0, 0, :cx], w[0, 0, cx:],
+                                       join_params["b"], "none")
+    return L.conv2d(join_params, L.tile_and_concat(h, t), stride=1)
+
+
 def _n_stages(resolution: int) -> int:
     n = int(math.log2(resolution // 4))
     if 4 * (2**n) != resolution:
@@ -156,8 +174,7 @@ def discriminator_apply(params: Dict, state: Dict, x: jax.Array,
         h = L.lrelu(h)
 
     t = L.lrelu(L.linear(params["embed"], emb))
-    h = L.tile_and_concat(h, t)
-    h = L.conv2d(params["join"], h, stride=1)
+    h = _text_join(params["join"], h, t, allow_pallas=(norm != "layer"))
     if norm == "batch":
         h, new_state["join_bn"] = L.batch_norm(params["join_bn"],
                                                state["join_bn"], h, train)

@@ -1,0 +1,223 @@
+"""Fused Pallas TPU kernels for the conditioning/normalization hot paths.
+
+The reference delegates all fusion to TF1's runtime; on TPU the native layer
+is Pallas/Mosaic (SURVEY.md §2 native-component ledger).  XLA already fuses
+conv epilogues well, so the owned kernels target what the XLA fusion pass
+cannot see:
+
+* `conditioning_join` — the matching-aware text join
+  ``conv1x1(concat(x, tile(t)))`` computed as ``act(x·Wx + t·Wt + b)``
+  WITHOUT materializing the [B,H,W,C+E] concat in HBM (one read of x, one of
+  t, one write of y; the tiled-text tensor never exists).  Used at every
+  discriminator conditioning join and the StackGAN Stage-II join.
+* `bn_act` — normalize-affine + activation in one VMEM pass:
+  ``act(x·a + b)`` with per-channel a,b folded from (mean, var, γ, β).
+
+Both are `jax.custom_vjp` ops: forward is the Pallas kernel; backward is
+plain XLA matmuls/reductions (also concat-free) — the activation derivative
+is recovered from the saved *output* (valid for none/relu/lrelu/tanh), so no
+pre-activation tensor is stored.
+
+Verified against the `jax.lax` compositions in ``tests/test_pallas.py``
+(interpret mode on CPU, compiled on TPU).  Enablement: `use_pallas` context;
+auto-fallback off-TPU or for shapes that don't tile cleanly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ENABLED = contextvars.ContextVar("pallas_enabled", default=True)
+
+
+def pallas_enabled() -> bool:
+    """True when fused kernels should be used (flag on + TPU backend)."""
+    return _ENABLED.get() and jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def use_pallas(on: bool):
+    tok = _ENABLED.set(on)
+    try:
+        yield
+    finally:
+        _ENABLED.reset(tok)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_ACTS = {
+    "none": lambda x: x,
+    "relu": lambda x: jnp.maximum(x, 0),
+    "lrelu": lambda x: jnp.where(x >= 0, x, 0.2 * x),
+    "tanh": jnp.tanh,
+}
+
+
+def _act_grad_from_output(act: str, y: jax.Array) -> jax.Array:
+    """d act(p)/dp recovered from y = act(p) — valid because all four
+    activations are monotone with sign(y) = sign(p)."""
+    y32 = y.astype(jnp.float32)
+    if act == "none":
+        return jnp.ones_like(y32)
+    if act == "relu":
+        return (y32 > 0).astype(jnp.float32)
+    if act == "lrelu":
+        return jnp.where(y32 >= 0, 1.0, 0.2)
+    if act == "tanh":
+        return 1.0 - y32 * y32
+    raise ValueError(act)
+
+
+# =============================== bn_act ======================================
+
+def _bn_act_kernel(x_ref, a_ref, b_ref, o_ref, *, act):
+    y = x_ref[:].astype(jnp.float32) * a_ref[:] + b_ref[:]
+    o_ref[:] = _ACTS[act](y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bn_act_core(xf, a2, b2, act: str, row_tile: int):
+    rows, c = xf.shape
+    return pl.pallas_call(
+        functools.partial(_bn_act_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct((rows, c), xf.dtype),
+        grid=(rows // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(xf, a2, b2)
+
+
+def _bn_act_fwd(xf, a2, b2, act, row_tile):
+    y = _bn_act_core(xf, a2, b2, act, row_tile)
+    return y, (xf, a2, y)
+
+
+def _bn_act_bwd(act, row_tile, res, g):
+    xf, a2, y = res
+    ga = g.astype(jnp.float32) * _act_grad_from_output(act, y)
+    dx = (ga * a2).astype(xf.dtype)
+    da = jnp.sum(ga * xf.astype(jnp.float32), axis=0, keepdims=True)
+    db = jnp.sum(ga, axis=0, keepdims=True)
+    return dx, da, db
+
+
+_bn_act_core.defvjp(_bn_act_fwd, _bn_act_bwd)
+
+
+def bn_act(x: jax.Array, a: jax.Array, b: jax.Array, act: str = "relu",
+           row_tile: int = 256) -> jax.Array:
+    """``act(x * a + b)`` over NHWC x with per-channel a,b — one HBM read +
+    one write.  Fold BN as a = γ·rsqrt(var+eps), b = β − mean·a.
+    Falls back to the plain jnp composition when shapes don't tile."""
+    bsz, h, w, c = x.shape
+    rows = bsz * h * w
+    if rows % row_tile != 0 or c % 128 != 0 or not pallas_enabled():
+        y = x.astype(jnp.float32) * a.astype(jnp.float32) + b.astype(jnp.float32)
+        return _ACTS[act](y).astype(x.dtype)
+    y = _bn_act_core(x.reshape(rows, c),
+                     a.reshape(1, c).astype(jnp.float32),
+                     b.reshape(1, c).astype(jnp.float32), act, row_tile)
+    return y.reshape(bsz, h, w, c)
+
+
+# ========================== conditioning join =================================
+
+def _join_kernel(x_ref, t_ref, wx_ref, wt_ref, b_ref, o_ref, *, act):
+    x = x_ref[0]                                   # [HW, Cx]
+    t = t_ref[0]                                   # [1, E] (this example)
+    y = jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
+    y = y + jnp.dot(t, wt_ref[:], preferred_element_type=jnp.float32)
+    y = y + b_ref[:]
+    o_ref[0] = _ACTS[act](y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _join_core(xf, t, wx, wt, b2, act: str):
+    bsz, hw, cx = xf.shape
+    e = t.shape[-1]
+    co = wx.shape[-1]
+    # t as [B,1,E] so the block's trailing dims equal the array dims
+    # (Mosaic requires trailing block dims divisible by (8,128) or full)
+    t3 = t.reshape(bsz, 1, e)
+    return pl.pallas_call(
+        functools.partial(_join_kernel, act=act),
+        out_shape=jax.ShapeDtypeStruct((bsz, hw, co), xf.dtype),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, hw, cx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cx, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, co), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hw * cx * co + 2 * bsz * e * co,
+            bytes_accessed=(xf.size + t.size + wx.size + wt.size + b2.size
+                            + bsz * hw * co) * xf.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xf, t3, wx, wt, b2)
+
+
+def _join_fwd(xf, t, wx, wt, b2, act):
+    y = _join_core(xf, t, wx, wt, b2, act)
+    return y, (xf, t, wx, wt, y)
+
+
+def _join_bwd(act, res, g):
+    xf, t, wx, wt, y = res
+    ga = g.astype(jnp.float32) * _act_grad_from_output(act, y)  # [B,HW,Co]
+    ga_c = ga.astype(xf.dtype)
+    dx = jnp.einsum("bho,co->bhc", ga_c, wx.astype(xf.dtype))
+    ga_sum = jnp.sum(ga, axis=1)                                # [B,Co]
+    dt = (ga_sum.astype(t.dtype) @ wt.T.astype(t.dtype))
+    dwx = jnp.einsum("bhc,bho->co", xf, ga_c).astype(wx.dtype)
+    dwt = (t.T @ ga_sum.astype(t.dtype)).astype(wt.dtype)
+    db = jnp.sum(ga, axis=(0, 1), keepdims=True).reshape(1, -1)
+    return dx, dt, dwx, dwt, db.astype(jnp.float32)
+
+
+_join_core.defvjp(_join_fwd, _join_bwd)
+
+
+def conditioning_join(x: jax.Array, t: jax.Array, wx: jax.Array,
+                      wt: jax.Array, bias: jax.Array, act: str = "none"
+                      ) -> jax.Array:
+    """Fused ``act(conv1x1(concat(x, tile(t))))``.
+
+    x[B,H,W,Cx], t[B,E] → y[B,H,W,Co] = act(x·wx + t·wt + bias), where
+    (wx; wt) is the vertical split of the reference 1×1 conv kernel over the
+    [image-channels; text-channels] concat axis.  The [B,H,W,Cx+E] concat and
+    the tiled-text tensor are never materialized.
+    """
+    bsz, h, w, cx = x.shape
+    co = wx.shape[-1]
+    xf = x.reshape(bsz, h * w, cx)
+    y = _join_core(
+        xf, t.astype(x.dtype),
+        wx.reshape(cx, co).astype(x.dtype),
+        wt.reshape(-1, co).astype(x.dtype),
+        bias.reshape(1, co).astype(jnp.float32), act)
+    return y.reshape(bsz, h, w, co)

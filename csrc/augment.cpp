@@ -78,6 +78,53 @@ void crop_flip_normalize(const uint8_t* images, const int64_t* idx,
   for (auto& th : pool) th.join();
 }
 
+// Same gather+crop+flip but keeping uint8 (no normalization): the device
+// normalizes after transfer, so the host→HBM payload is 4x smaller —
+// load-bearing when the TPU is behind a low-bandwidth link.
+void crop_flip_u8(const uint8_t* images, const int64_t* idx, int64_t n,
+                  int64_t h, int64_t w, int64_t s, const int32_t* ys,
+                  const int32_t* xs, const uint8_t* flips, uint8_t* dst,
+                  int32_t num_threads) {
+  if (num_threads < 1) {
+    num_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (num_threads < 1) num_threads = 1;
+  }
+  const int64_t img_in = h * w * 3;
+  const int64_t img_out = s * s * 3;
+  auto work = [&](int64_t begin, int64_t end) {
+    for (int64_t i = begin; i < end; ++i) {
+      const uint8_t* src = images + idx[i] * img_in;
+      uint8_t* out = dst + i * img_out;
+      for (int64_t r = 0; r < s; ++r) {
+        const uint8_t* row = src + ((ys[i] + r) * w + xs[i]) * 3;
+        uint8_t* orow = out + r * s * 3;
+        if (!flips[i]) {
+          std::memcpy(orow, row, s * 3);
+        } else {
+          for (int64_t c = 0; c < s; ++c) {
+            const uint8_t* px = row + (s - 1 - c) * 3;
+            orow[c * 3 + 0] = px[0];
+            orow[c * 3 + 1] = px[1];
+            orow[c * 3 + 2] = px[2];
+          }
+        }
+      }
+    }
+  };
+  if (num_threads == 1 || n < 2) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int64_t chunk = (n + num_threads - 1) / num_threads;
+  for (int64_t t = 0; t * chunk < n; ++t) {
+    int64_t b = t * chunk;
+    int64_t e = b + chunk < n ? b + chunk : n;
+    pool.emplace_back(work, b, e);
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Batched embedding gather-average: out[i] = mean over `window` picked
 // captions of emb[idx[i], pick[i*window + j], :].
 void gather_average_embeddings(const float* emb, int64_t num, int64_t caps,

@@ -1,0 +1,84 @@
+"""GAN-CLS conditioning/convergence smoke on real hardware.
+
+Trains GAN-CLS on the class-structured synthetic dataset for a few thousand
+steps, then checks the two conditioning invariants the matching-aware design
+must produce (validated 2026-08-16 on 1x v5e, 3k steps):
+
+1. the discriminator separates matched from mismatched (image, text) pairs
+   by a wide logit margin (measured: -0.6 vs -5.7), and
+2. with a FIXED z, sweeping the class embedding sweeps the generated mean
+   color in lockstep with the real class colors (measured: r = 0.999).
+
+Run: python scripts/convergence_check.py [steps]
+(batches are staged on device once and cycled — keeps a tunneled TPU fed).
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from text_to_image_tpu.config import Config, DataConfig, TrainConfig
+from text_to_image_tpu.data.synthetic import SyntheticDataset
+from text_to_image_tpu.eval.sampler import make_generator_fn
+from text_to_image_tpu.models.registry import get_model
+from text_to_image_tpu.ops import layers as L
+from text_to_image_tpu.train.steps import init_train_state, make_train_step
+from text_to_image_tpu.utils import prng
+
+
+def main(steps: int = 3000) -> int:
+    cfg = Config(model="gancls", train=TrainConfig(batch_size=64, g_steps=2),
+                 data=DataConfig(dataset_name="synthetic", image_size=64),
+                 dtype="bfloat16")
+    ds = SyntheticDataset(num_examples=512, image_size=64, embed_dim=1024,
+                          num_classes=8, seed=0)
+    ts = init_train_state(prng.base_key(0), cfg, steps_per_epoch=8)
+    step = make_train_step(cfg, steps_per_epoch=8)
+    pool = [jax.device_put({k: v[None] for k, v in ds.next_batch(64).items()})
+            for _ in range(8)]
+
+    t0 = time.time()
+    for i in range(steps):
+        ts, m = step(ts, pool[i % 8])
+        if (i + 1) % 1000 == 0:
+            print(f"step {i+1}: d={float(m['d_loss']):.2f} "
+                  f"g={float(m['g_loss']):.2f} "
+                  f"({(i+1)/(time.time()-t0):.0f} steps/s)", flush=True)
+
+    bundle = get_model(cfg)
+    pol = L.Policy.from_str(cfg.dtype)
+    b = ds.next_batch(64)
+    real = jnp.asarray(b["real"].astype(np.float32) / 127.5 - 1.0)
+    emb = jnp.asarray(b["emb"])
+    da = jax.jit(lambda x, e: bundle.disc_apply(ts.d_params, ts.d_state, x, e,
+                                                True, pol)[0])
+    margin = float(jnp.mean(da(real, emb)) -
+                   jnp.mean(da(real, jnp.roll(emb, 13, axis=0))))
+
+    gen = make_generator_fn(cfg)
+    z0 = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(0), (cfg.gan.z_dim,)),
+        (8, cfg.gan.z_dim))
+    embs = jnp.asarray(np.stack(
+        [ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
+         for c in range(8)]))
+    imgs = np.asarray(jax.device_get(
+        gen(ts.g_params, ts.g_state, ts.aux, z0, embs, jax.random.PRNGKey(1))))
+    gen_colors = ((imgs + 1) / 2).mean(axis=(1, 2))
+    real_colors = np.stack(
+        [(ds.images[ds.class_ids == c].astype(np.float32) / 255
+          ).mean(axis=(0, 1, 2)) for c in range(8)])
+    r = np.corrcoef(gen_colors.ravel(), real_colors.ravel())[0, 1]
+
+    print(f"D matched-vs-mismatched margin: {margin:.2f} (want > 1)")
+    print(f"fixed-z class-color correlation: r={r:.3f} (want > 0.9)")
+    ok = margin > 1.0 and r > 0.9
+    print("CONVERGENCE PASS" if ok else "CONVERGENCE FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 3000))

@@ -34,13 +34,26 @@ def _write_stackgan_pickles(tmpdir, n=20, src=76, captions=3, embed=32):
 
 def test_textdataset_loads_and_batches(tmp_path):
     root = _write_stackgan_pickles(str(tmp_path))
-    ds = TextDataset(root, "train", image_size=64, embed_dim=32, seed=0)
+    ds = TextDataset(root, "train", image_size=64, embed_dim=32, seed=0,
+                     raw_uint8=False)
     assert ds.num_examples == 20
     b = ds.next_batch(8, window=2)
     assert b["real"].shape == (8, 64, 64, 3)
     assert b["wrong"].shape == (8, 64, 64, 3)
     assert b["emb"].shape == (8, 32)
     assert b["real"].min() >= -1.0 and b["real"].max() <= 1.0
+
+
+def test_textdataset_raw_uint8_default(tmp_path):
+    """Production default ships uint8 (device normalizes): 4x smaller
+    host→HBM payload.  Pixels must match the float path exactly."""
+    root = _write_stackgan_pickles(str(tmp_path))
+    raw = TextDataset(root, "train", 64, 32, seed=3).next_batch(4)
+    flt = TextDataset(root, "train", 64, 32, seed=3,
+                      raw_uint8=False).next_batch(4)
+    assert raw["real"].dtype == np.uint8
+    np.testing.assert_allclose(raw["real"] / 127.5 - 1.0, flt["real"],
+                               rtol=0, atol=1e-6)
 
 
 def test_textdataset_deterministic_with_seed(tmp_path):
@@ -59,7 +72,7 @@ def test_textdataset_missing_size_raises(tmp_path):
 
 def test_wrong_pairs_are_different_class():
     ds = SyntheticDataset(num_examples=64, image_size=16, embed_dim=8,
-                          num_classes=4, seed=0)
+                          num_classes=4, seed=0, raw_uint8=False)
     # wrong image must differ from the real one (class-mismatched) — verify
     # by pixel: synthetic images are class-colored, so equality would mean
     # the same class color was drawn

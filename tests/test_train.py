@@ -92,6 +92,25 @@ def test_determinism_across_reruns():
         np.testing.assert_array_equal(m1[k], m2[k])
 
 
+def test_uint8_batch_matches_float_batch():
+    """The step accepts uint8 images (device-side normalization) and must
+    produce the same result as the float path."""
+    cfg = tiny_config("gancls")
+    fb = make_batch(cfg)
+    ub = {**fb, "real": ((fb["real"] + 1) * 127.5).astype(np.uint8),
+          "wrong": ((fb["wrong"] + 1) * 127.5).astype(np.uint8)}
+    # re-derive floats from the quantized uint8 so both paths see identical pixels
+    fb = {**ub, "real": ub["real"].astype(np.float32) / 127.5 - 1.0,
+          "wrong": ub["wrong"].astype(np.float32) / 127.5 - 1.0}
+
+    step = make_train_step(cfg)
+    _, m_f = step(init_train_state(prng.base_key(0), cfg), fb)
+    _, m_u = step(init_train_state(prng.base_key(0), cfg), ub)
+    for k in m_f:
+        np.testing.assert_allclose(float(m_f[k]), float(m_u[k]), rtol=1e-5,
+                                   err_msg=f"metric {k}")
+
+
 def test_multi_step_progression():
     cfg = tiny_config("gancls")
     ts = init_train_state(prng.base_key(0), cfg)

@@ -43,6 +43,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        lib.crop_flip_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
         lib.gather_average_embeddings.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -95,6 +99,31 @@ def crop_flip_normalize(images: np.ndarray, idx: np.ndarray, size: int,
             patch = patch[:, ::-1]
         out[i] = patch
     return out / 127.5 - 1.0
+
+
+def crop_flip_u8(images: np.ndarray, idx: np.ndarray, size: int,
+                 ys: np.ndarray, xs: np.ndarray, flips: np.ndarray,
+                 num_threads: int = 0) -> np.ndarray:
+    """Gather + crop + flip, staying uint8 (normalize on device — 4x smaller
+    host→device payload)."""
+    n = len(idx)
+    _, h, w, _ = images.shape
+    lib = get_lib()
+    if lib is not None and images.flags["C_CONTIGUOUS"]:
+        out = np.empty((n, size, size, 3), np.uint8)
+        lib.crop_flip_u8(
+            _ptr(images), _ptr(np.ascontiguousarray(idx, np.int64)),
+            n, h, w, size,
+            _ptr(np.ascontiguousarray(ys, np.int32)),
+            _ptr(np.ascontiguousarray(xs, np.int32)),
+            _ptr(np.ascontiguousarray(flips, np.uint8)),
+            _ptr(out), num_threads)
+        return out
+    out = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        patch = images[idx[i], ys[i]:ys[i] + size, xs[i]:xs[i] + size]
+        out[i] = patch[:, ::-1] if flips[i] else patch
+    return out
 
 
 def gather_average_embeddings(emb: np.ndarray, idx: np.ndarray,

@@ -17,7 +17,9 @@ import numpy as np
 class SyntheticDataset:
     def __init__(self, num_examples: int = 256, image_size: int = 64,
                  embed_dim: int = 1024, num_classes: int = 8,
-                 captions_per_image: int = 5, seed: int = 0):
+                 captions_per_image: int = 5, seed: int = 0,
+                 raw_uint8: bool = True):
+        self.raw_uint8 = raw_uint8  # uint8 out (device normalizes); see TextDataset
         rng = np.random.default_rng(seed)
         self.image_size = image_size
         self.class_ids = rng.integers(0, num_classes, size=num_examples)
@@ -54,11 +56,12 @@ class SyntheticDataset:
         if window < c:
             picks = self._rng.integers(0, c, size=(batch_size, window))
             embs = embs[np.arange(batch_size)[:, None], picks]
-        return {
-            "real": self.images[idx].astype(np.float32) / 127.5 - 1.0,
-            "wrong": self.images[wrong].astype(np.float32) / 127.5 - 1.0,
-            "emb": embs.mean(axis=1),
-        }
+        if self.raw_uint8:
+            real_out, wrong_out = self.images[idx], self.images[wrong]
+        else:
+            real_out = self.images[idx].astype(np.float32) / 127.5 - 1.0
+            wrong_out = self.images[wrong].astype(np.float32) / 127.5 - 1.0
+        return {"real": real_out, "wrong": wrong_out, "emb": embs.mean(axis=1)}
 
     def test_embeddings(self, n: Optional[int] = None) -> np.ndarray:
         embs = self.embeddings[:n] if n else self.embeddings

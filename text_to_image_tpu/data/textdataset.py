@@ -44,7 +44,10 @@ class TextDataset:
     def __init__(self, data_dir: str, split: str = "train",
                  image_size: int = 64, embed_dim: int = 1024,
                  random_crop: bool = True, random_flip: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, raw_uint8: bool = True):
+        # raw_uint8: serve uint8 images (normalized to tanh range ON DEVICE
+        # by the train step) — 4x smaller host→HBM transfers. False gives
+        # float32 [-1,1] for host-side consumers.
         base = os.path.join(data_dir, split)
         src = CROP_SOURCE.get(image_size)
         img_file = (os.path.join(base, f"{src}images.pickle") if src else None)
@@ -66,6 +69,7 @@ class TextDataset:
         self.image_size = image_size
         self.random_crop = random_crop
         self.random_flip = random_flip
+        self.raw_uint8 = raw_uint8
         self._rng = np.random.default_rng(seed)
 
     @property
@@ -91,7 +95,8 @@ class TextDataset:
             ys = np.full(n, (h - s) // 2)
             xs = np.full(n, (w - s) // 2)
         flips = (self._rng.random(n) < 0.5) if self.random_flip else np.zeros(n, bool)
-        return native.crop_flip_normalize(self.images, idx, s, ys, xs, flips)
+        fn = native.crop_flip_u8 if self.raw_uint8 else native.crop_flip_normalize
+        return fn(self.images, idx, s, ys, xs, flips)
 
     def _sample_embeddings(self, idx: np.ndarray, window: int) -> np.ndarray:
         """Sample `window` captions per image and average (reference

@@ -93,8 +93,16 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1000):
 
     # ---- losses ---------------------------------------------------------
 
+    def _images(x):
+        """Accept uint8 (host ships quarter-size tensors; normalization to
+        the generator's tanh range happens on device) or float in [-1,1]."""
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / 127.5 - 1.0
+        return x
+
     def d_loss_fn(d_params, d_state, g_params, g_state, aux, batch, key):
-        real, wrong, emb = batch["real"], batch["wrong"], batch["emb"]
+        real, wrong, emb = (_images(batch["real"]), _images(batch["wrong"]),
+                            batch["emb"])
         kz, kg, keps = jax.random.split(key, 3)
         z = jax.random.normal(kz, (real.shape[0], zdim), jnp.float32)
         fake, _, _ = bundle.gen_apply(g_params, g_state, aux, z, emb, kg,

@@ -20,12 +20,28 @@ is ≥20× that baseline.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-# Estimated TF1 single-CPU GAN-CLS 64x64 images/sec (see module docstring).
+# Estimated TF1 single-CPU GAN-CLS 64x64 images/sec, used only when no
+# measured baseline exists (see module docstring).
 TF1_CPU_BASELINE_IMG_PER_SEC = 25.0
+
+
+def _baseline() -> float:
+    """Prefer the measured same-host CPU baseline (scripts/
+    baseline_torch_cpu.py → BASELINE_MEASURED.json): same workload, same
+    machine, torch-CPU as the TF1-era proxy.  Falls back to the documented
+    estimate."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["images_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return TF1_CPU_BASELINE_IMG_PER_SEC
 
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
@@ -85,7 +101,7 @@ def main():
         "metric": "images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 2),
         "unit": "img/s/chip (GAN-CLS 64x64 train, bf16, batch 64/chip)",
-        "vs_baseline": round(img_per_sec_per_chip / TF1_CPU_BASELINE_IMG_PER_SEC, 2),
+        "vs_baseline": round(img_per_sec_per_chip / _baseline(), 2),
     }))
 
 

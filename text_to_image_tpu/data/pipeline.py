@@ -28,7 +28,7 @@ from text_to_image_tpu.parallel.mesh import MeshEnv
 class InputPipeline:
     def __init__(self, dataset, batch_size: int, env: Optional[MeshEnv] = None,
                  window: int = 4, batches_per_step: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, workers: int = 1):
         if env is not None and batch_size % env.data_size != 0:
             raise ValueError(
                 f"global batch {batch_size} not divisible by data axis "
@@ -38,21 +38,29 @@ class InputPipeline:
         self.window = window
         self.batches_per_step = batches_per_step
         self.env = env
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._q: queue.Queue = queue.Queue(maxsize=max(prefetch, workers))
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        # >1 workers: each gets an independent-RNG view of the dataset
+        # (numpy Generators are not thread-safe); batch order across workers
+        # is nondeterministic, per-worker streams are deterministic.
+        self._threads = []
+        for w in range(max(1, workers)):
+            ds = (dataset.spawn(0x5EED0 + 7919 * w)
+                  if workers > 1 and hasattr(dataset, "spawn") else dataset)
+            t = threading.Thread(target=self._worker, args=(ds,), daemon=True)
+            t.start()
+            self._threads.append(t)
 
-    def _make_step_batch(self) -> Dict[str, np.ndarray]:
+    def _make_step_batch(self, ds) -> Dict[str, np.ndarray]:
         # always stacked [K, B, ...] — the train step scans over the leading
         # per-critic-update axis (K = n_critic; K=1 for the CE families)
-        batches = [self.dataset.next_batch(self.batch_size, self.window)
+        batches = [ds.next_batch(self.batch_size, self.window)
                    for _ in range(self.batches_per_step)]
         return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
-    def _worker(self):
+    def _worker(self, ds):
         while not self._stop.is_set():
-            batch = self._make_step_batch()
+            batch = self._make_step_batch(ds)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.1)
@@ -80,4 +88,5 @@ class InputPipeline:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=2.0)
+        for t in self._threads:
+            t.join(timeout=2.0)

@@ -42,6 +42,13 @@ class SyntheticDataset:
     def embed_dim(self) -> int:
         return int(self.embeddings.shape[-1])
 
+    def spawn(self, seed: int) -> "SyntheticDataset":
+        """Shared-array view with an independent RNG (parallel workers)."""
+        import copy
+        clone = copy.copy(self)
+        clone._rng = np.random.default_rng(seed)
+        return clone
+
     def next_batch(self, batch_size: int, window: int = 4) -> Dict[str, np.ndarray]:
         n = self.num_examples
         idx = self._rng.integers(0, n, size=batch_size)

@@ -80,6 +80,14 @@ class TextDataset:
     def embed_dim(self) -> int:
         return int(self.embeddings.shape[-1])
 
+    def spawn(self, seed: int) -> "TextDataset":
+        """Shallow view sharing the arrays but with its own RNG stream —
+        for parallel pipeline workers (numpy Generators aren't thread-safe)."""
+        import copy
+        clone = copy.copy(self)
+        clone._rng = np.random.default_rng(seed)
+        return clone
+
     # -- augmentation ----------------------------------------------------
 
     def _crop_flip(self, idx: np.ndarray) -> np.ndarray:

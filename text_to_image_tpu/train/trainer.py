@@ -56,7 +56,8 @@ class Trainer:
             self.dataset, cfg.train.batch_size, self.env,
             window=cfg.data.caption_window,
             batches_per_step=cfg.train.n_critic,
-            prefetch=cfg.data.prefetch)
+            prefetch=cfg.data.prefetch,
+            workers=cfg.data.workers)
         self.metrics = MetricWriter(
             os.path.join(cfg.log_dir, cfg.model, cfg.data.dataset_name))
         self.meter = ThroughputMeter(

@@ -1,0 +1,134 @@
+"""Equivalence tests for the Pallas (de)conv kernels vs their lax
+compositions — forward and gradients, multiple shapes, vmapped streams."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from text_to_image_tpu.ops.pallas import conv as K
+
+KEY = jax.random.PRNGKey(7)
+DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _lax_deconv(x, w, s, t, act):
+    y = lax.conv_transpose(x, w, (2, 2), "SAME", dimension_numbers=DIMS)
+    y = y.astype(jnp.float32) * s + t
+    return K._ACTS[act](y).astype(x.dtype)
+
+
+@pytest.mark.parametrize("shape,co", [((2, 4, 4, 16), 8),
+                                      ((3, 8, 8, 8), 16),
+                                      ((2, 5, 7, 4), 8),   # odd spatial
+                                      ((2, 8, 8, 8), 3)])  # RGB output
+@pytest.mark.parametrize("act", ["none", "relu", "tanh"])
+def test_deconv_forward_matches_lax(shape, co, act):
+    cin = shape[-1]
+    x = jax.random.normal(KEY, shape)
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (5, 5, cin, co)) * 0.1
+    s = jax.random.normal(jax.random.fold_in(KEY, 2), (co,)) * 0.3 + 1.0
+    t = jax.random.normal(jax.random.fold_in(KEY, 3), (co,)) * 0.2
+
+    got = K.deconv5x5_s2(x, w, s, t, act)
+    ref = _lax_deconv(x, w, s, t, act)
+    assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_deconv_gradients_match_lax():
+    x = jax.random.normal(KEY, (2, 4, 4, 8))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (5, 5, 8, 8)) * 0.1
+    s = jnp.ones((8,))
+    t = jnp.zeros((8,))
+    ct = jax.random.normal(jax.random.fold_in(KEY, 2), (2, 8, 8, 8))
+
+    def loss_k(x, w, s, t):
+        return jnp.sum(K.deconv5x5_s2(x, w, s, t, "relu") * ct)
+
+    def loss_l(x, w, s, t):
+        return jnp.sum(_lax_deconv(x, w, s, t, "relu") * ct)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, w, s, t)
+    gl = jax.grad(loss_l, argnums=(0, 1, 2, 3))(x, w, s, t)
+    for name, a, b in zip("xwst", gk, gl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"grad {name}")
+
+
+def _lax_conv(x, w, b, act):
+    y = lax.conv_general_dilated(x, w, (2, 2), "SAME",
+                                 dimension_numbers=DIMS)
+    return K._ACTS[act]((y + b).astype(jnp.float32)).astype(x.dtype)
+
+
+@pytest.mark.parametrize("shape,co", [((2, 8, 8, 3), 8),
+                                      ((3, 16, 16, 8), 16),
+                                      ((2, 4, 4, 16), 8)])
+def test_conv_s2_forward_matches_lax(shape, co):
+    cin = shape[-1]
+    x = jax.random.normal(KEY, shape)
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (5, 5, cin, co)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(KEY, 2), (co,)) * 0.1
+
+    got = K.conv5x5_s2_act(x, w, b, "lrelu")
+    ref = _lax_conv(x, w, b, "lrelu")
+    assert got.shape == (shape[0], shape[1] // 2, shape[2] // 2, co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv_s2_gradients_match_lax():
+    x = jax.random.normal(KEY, (2, 8, 8, 4))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (5, 5, 4, 8)) * 0.1
+    b = jnp.zeros((8,))
+    ct = jax.random.normal(jax.random.fold_in(KEY, 2), (2, 4, 4, 8))
+
+    def loss_k(x, w, b):
+        return jnp.sum(K.conv5x5_s2_act(x, w, b, "lrelu") * ct)
+
+    def loss_l(x, w, b):
+        return jnp.sum(_lax_conv(x, w, b, "lrelu") * ct)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, w, b)
+    gl = jax.grad(loss_l, argnums=(0, 1, 2))(x, w, b)
+    for name, a, b_ in zip("xwb", gk, gl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"grad {name}")
+
+
+def test_inference_generator_matches_eval_mode():
+    """BN-folded fused inference generator ≡ generator_apply(train=False)."""
+    from text_to_image_tpu.models import gancls
+    from text_to_image_tpu.ops import layers as L
+    from tests.helpers import tiny_config
+
+    cfg = tiny_config("gancls")
+    gp, gs = gancls.generator_init(KEY, cfg.gan, cfg.data.image_size)
+    # make running stats non-trivial
+    gs = jax.tree.map(lambda s: s + 0.1 * jnp.arange(s.shape[-1],
+                                                     dtype=s.dtype), gs)
+    z = jax.random.normal(KEY, (4, cfg.gan.z_dim))
+    emb = jax.random.normal(jax.random.fold_in(KEY, 1), (4, cfg.gan.embed_dim))
+
+    ref, _ = gancls.generator_apply(gp, gs, z, emb, train=False,
+                                    policy=L.FP32,
+                                    resolution=cfg.data.image_size)
+    got = gancls.generator_apply_inference(gp, gs, z, emb, L.FP32,
+                                           cfg.data.image_size)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_conv_s2_under_vmap():
+    """3-stream discriminator usage."""
+    xs = jax.random.normal(KEY, (3, 2, 8, 8, 4))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (5, 5, 4, 8)) * 0.1
+    b = jnp.zeros((8,))
+    got = jax.vmap(lambda x: K.conv5x5_s2_act(x, w, b, "lrelu"))(xs)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(got[i]),
+                                   np.asarray(_lax_conv(xs[i], w, b, "lrelu")),
+                                   rtol=2e-5, atol=2e-5)

@@ -98,7 +98,8 @@ class Config:
     sample_dir: str = "samples"
     log_dir: str = "logs"
     stage1_checkpoint: str = ""    # StackGAN Stage-II restores Stage-I G from here
-    use_pallas: bool = True        # fused Pallas kernels on TPU (auto-off on CPU)
+    use_pallas: bool = False       # opt-in fused Pallas kernels (XLA default
+    # measured faster for these model shapes — see BASELINE.md / ops/pallas)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

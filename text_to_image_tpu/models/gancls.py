@@ -50,6 +50,20 @@ def _text_join(join_params, h: jax.Array, t: jax.Array,
     return L.conv2d(join_params, L.tile_and_concat(h, t), stride=1)
 
 
+def _up_deconv(p: Dict, x: jax.Array, act: str = "none") -> jax.Array:
+    """Generator up-block deconv (k5 s2) with bias (+activation) fused —
+    the Pallas subpixel kernel on TPU, lax elsewhere.  Safe under every
+    family: G is only ever differentiated first-order (the WGAN GP
+    double-backprop touches the critic, not G)."""
+    from text_to_image_tpu.ops.pallas import conv as pconv, fused
+    if fused.pallas_enabled():
+        ones = jnp.ones((p["w"].shape[-1],), jnp.float32)
+        return pconv.deconv5x5_s2(x, p["w"], ones, p["b"].astype(jnp.float32),
+                                  act)
+    y = L.conv2d_transpose(p, x, stride=2)
+    return jnp.tanh(y) if act == "tanh" else y
+
+
 def _n_stages(resolution: int) -> int:
     n = int(math.log2(resolution // 4))
     if 4 * (2**n) != resolution:
@@ -103,12 +117,41 @@ def generator_apply(params: Dict, state: Dict, z: jax.Array, emb: jax.Array,
                                            h, train)
     h = jax.nn.relu(h)
     for i in range(n_up - 1):
-        h = L.conv2d_transpose(params[f"up{i}"], h, stride=2)
+        h = _up_deconv(params[f"up{i}"], h)
         h, new_state[f"up{i}_bn"] = L.batch_norm(
             params[f"up{i}_bn"], state[f"up{i}_bn"], h, train)
         h = jax.nn.relu(h)
-    img = jnp.tanh(L.conv2d_transpose(params["out"], h, stride=2))
+    img = _up_deconv(params["out"], h, act="tanh")
     return img, new_state
+
+
+def generator_apply_inference(params: Dict, state: Dict, z: jax.Array,
+                              emb: jax.Array, policy: L.Policy = L.FP32,
+                              resolution: int = 64) -> jax.Array:
+    """Serving-path generator: eval-mode BN (running statistics) FOLDED into
+    each deconv's per-channel scale/shift, so every up-block is ONE fused
+    Pallas kernel (deconv + BN + ReLU, single HBM round-trip).  Matches
+    `generator_apply(train=False)` numerically."""
+    n_up = _n_stages(resolution)
+    z = policy.cast(z)
+    emb = policy.cast(emb)
+
+    t = L.lrelu(L.linear(params["embed"], emb))
+    h = L.linear(params["stem"], jnp.concatenate([z, t], axis=-1))
+    h = h.reshape(h.shape[0], 4, 4, -1)
+    h, _ = L.batch_norm(params["stem_bn"], state["stem_bn"], h, train=False)
+    h = jax.nn.relu(h)
+
+    from text_to_image_tpu.ops.pallas import conv as pconv
+    eps = 1e-5
+    for i in range(n_up - 1):
+        p, bn, s = params[f"up{i}"], params[f"up{i}_bn"], state[f"up{i}_bn"]
+        a = (bn["scale"] * jax.lax.rsqrt(s["var"] + eps)).astype(jnp.float32)
+        shift = ((p["b"] - s["mean"]) * a + bn["bias"]).astype(jnp.float32)
+        h = pconv.deconv5x5_s2(h, p["w"], a, shift, "relu")
+    out = params["out"]
+    return pconv.deconv5x5_s2(h, out["w"], jnp.ones((3,), jnp.float32),
+                              out["b"].astype(jnp.float32), "tanh")
 
 
 # --- discriminator ---------------------------------------------------------------

@@ -1,0 +1,278 @@
+"""Pallas TPU convolution kernels for the GAN hot path.
+
+The driver north star names these two fusions explicitly (BASELINE.json):
+the generator's ConvTranspose(+BN)+ReLU up-blocks and the discriminator's
+strided-conv+LeakyReLU down-blocks.  Both are built on the same idea —
+decompose the stride-2 5×5 (de)convolution into its output/input parity
+classes so every tap is a unit-stride slice feeding one MXU matmul, and fuse
+the per-channel epilogue (bias / folded-BN scale+shift / activation) into the
+accumulator while it is still in VMEM:
+
+* `deconv5x5_s2(x, w, b, act, scale, shift)` — subpixel conv-transpose.
+  Output parity plane (py,px) is Σ_taps P[m+s] @ W[k] with P = pad(x,(1,2))
+  per spatial dim; tap table measured against `lax.conv_transpose` (k=5, s=2,
+  SAME): even parity → {(s,k)} = {(0,1),(1,3)}, odd → {(0,0),(1,2),(2,4)}.
+  The kernel writes a [B,H,2,W,2,C] tensor whose row-major layout IS the
+  interleaved [B,2H,2W,C] image (free reshape outside).
+* `conv5x5_s2_lrelu(x, w, b)` — matching-aware D down-block.  Taps read from
+  a free parity-plane VIEW of pad(x,(2... )) so stride-2 input access becomes
+  unit-stride: Y[m] = Σ_k P2[(k%2)][m + k//2] @ W[k].
+
+Both are `custom_vjp`: forward is the Pallas kernel, backward re-uses the
+`jax.vjp` of the equivalent `lax` composition (mathematically the same
+function, so its VJP is exact, and XLA already generates optimal transpose
+convs).  Equivalence (fwd + grad, all parities, odd shapes) is tested in
+``tests/test_pallas_conv.py``; interpret mode on CPU, Mosaic on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from text_to_image_tpu.ops.pallas.fused import _ACTS, _act_grad_from_output, _interpret
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+# parity → [(padded slice start, kernel tap index)], measured vs lax
+# (O[2m] = X[m-1]·W1 + X[m]·W3; O[2m+1] = X[m-1]·W0 + X[m]·W2 + X[m+1]·W4,
+# with X padded (1, 2) per spatial dim so every start is in range)
+_DECONV_TAPS = {0: ((0, 1), (1, 3)), 1: ((0, 0), (1, 2), (2, 4))}
+
+
+# ============================ deconv 5x5 s2 ==================================
+
+def _deconv_kernel(xp_ref, w_ref, s_ref, t_ref, o_ref, *, h, wd, act):
+    """xp [1,H+3,W+3,Cin] → o [1,H,2,W,2,TCO]: four parity matmul stacks
+    with the epilogue act(acc·s + t) fused before the single store."""
+    for py in (0, 1):
+        for px in (0, 1):
+            acc = None
+            for sh, kh in _DECONV_TAPS[py]:
+                for sw, kw in _DECONV_TAPS[px]:
+                    a = xp_ref[0, sh:sh + h, sw:sw + wd, :]
+                    a = a.reshape(h * wd, a.shape[-1])
+                    part = jnp.dot(a, w_ref[kh, kw],
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+            y = acc * s_ref[:] + t_ref[:]
+            y = _ACTS[act](y).astype(o_ref.dtype)
+            o_ref[0, :, py, :, px, :] = y.reshape(h, wd, y.shape[-1])
+
+
+def _deconv_pallas(xp, w, s2, t2, act: str, co_tile: int):
+    b, hp, wp, cin = xp.shape
+    h, wd = hp - 3, wp - 3
+    co = w.shape[-1]
+    n_co = co // co_tile
+    out = pl.pallas_call(
+        functools.partial(_deconv_kernel, h=h, wd=wd, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, h, 2, wd, 2, co), xp.dtype),
+        grid=(n_co, b),  # co slowest → weight block stays resident across batch
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, cin), lambda c, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 5, cin, co_tile), lambda c, i: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, 2, wd, 2, co_tile),
+                               lambda c, i: (i, 0, 0, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 25 * b * h * wd * cin * co,
+            bytes_accessed=(xp.size + w.size) * xp.dtype.itemsize
+            + b * h * wd * 4 * co * xp.dtype.itemsize,
+            transcendentals=0),
+    )(xp, w, s2, t2)
+    return out.reshape(b, 2 * h, 2 * wd, co)
+
+
+def _lax_deconv(x, w, s, t, act):
+    y = lax.conv_transpose(x, w.astype(x.dtype), (2, 2), "SAME",
+                           dimension_numbers=_DIMS,
+                           preferred_element_type=x.dtype)
+    y = y.astype(jnp.float32) * s + t
+    return _ACTS[act](y).astype(x.dtype)
+
+
+def _pick_co_tile(cin: int, co: int, budget_bytes: int = 8 * 2**20) -> int:
+    """Largest divisor tile of co whose weight block fits the VMEM budget."""
+    for tile in (co, 512, 256, 128):
+        if tile <= co and co % tile == 0 and 25 * cin * tile * 2 <= budget_bytes:
+            return tile
+    return co  # small co (e.g. 3): take it whole
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _deconv_op(x, w, scale, shift, act: str):
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    s2 = scale.reshape(1, -1).astype(jnp.float32)
+    t2 = shift.reshape(1, -1).astype(jnp.float32)
+    co_tile = _pick_co_tile(x.shape[-1], w.shape[-1])
+    return _deconv_pallas(xp, w.astype(x.dtype), s2, t2, act, co_tile)
+
+
+def deconv5x5_s2(x, w, scale, shift, act: str = "none"):
+    """Fused ``act(conv_transpose(x, w, s=2, SAME)·scale + shift)``.
+
+    scale/shift are per-channel f32 — (1, bias) for the plain train path,
+    (BN-folded γ·rsqrt(σ²+ε), β−μ·…) for inference.  Differentiable in all
+    array args (backward = exact VJP of the lax composition).
+
+    Mosaic needs a 128-lane-aligned output channel dim for the interleaving
+    store; other shapes (e.g. the RGB output layer) take the lax path.
+    """
+    if _interpret() or w.shape[-1] % 128 == 0:
+        return _deconv_op(x, w, scale, shift, act)
+    return _lax_deconv(x, w, scale.astype(jnp.float32),
+                       shift.astype(jnp.float32), act)
+
+
+def _deconv_fwd(x, w, scale, shift, act):
+    y = _deconv_op(x, w, scale, shift, act)
+    return y, (x, w, scale, shift, y)
+
+
+def _raw_deconv(x, w):
+    return lax.conv_transpose(x, w.astype(x.dtype), (2, 2), "SAME",
+                              dimension_numbers=_DIMS,
+                              preferred_element_type=x.dtype)
+
+
+def _deconv_bwd(act, res, g):
+    """No-recompute backward: the conv is linear in (x, w), so its adjoints
+    come from `jax.linear_transpose` (two convs — exactly what XLA's native
+    VJP emits); the epilogue derivative is recovered from the saved output
+    (relu/lrelu/none invert where the gradient is nonzero; tanh falls back
+    to a recompute VJP — only the lax-path RGB layer uses tanh anyway)."""
+    x, w, scale, shift, y = res
+    s32 = scale.astype(jnp.float32)
+    t32 = shift.astype(jnp.float32)
+    if act == "tanh":
+        _, vjp = jax.vjp(lambda a, b, c, d: _lax_deconv(a, b, c, d, act),
+                         x, w, s32, t32)
+        dx, dw, ds, dt = vjp(g)
+        return dx, dw, ds.astype(scale.dtype), dt.astype(shift.dtype)
+
+    g32 = g.astype(jnp.float32) * _act_grad_from_output(act, y)
+    y32 = y.astype(jnp.float32)
+    # pre-activation value where the act-grad is nonzero (relu zeros it out)
+    pre = y32 if act in ("none", "relu") else jnp.where(y32 >= 0, y32,
+                                                        y32 / 0.2)
+    d0 = jnp.where(g32 != 0, (pre - t32) / s32, 0.0)  # conv output
+    d_conv = (g32 * s32).astype(x.dtype)
+
+    t_x = jax.linear_transpose(lambda x_: _raw_deconv(x_, w), x)
+    t_w = jax.linear_transpose(lambda w_: _raw_deconv(x, w_), w)
+    dx, = t_x(d_conv)
+    dw, = t_w(d_conv)
+    ds = jnp.sum(g32 * d0, axis=(0, 1, 2)).astype(scale.dtype)
+    dt = jnp.sum(g32, axis=(0, 1, 2)).astype(shift.dtype)
+    return dx, dw.astype(w.dtype), ds.reshape(scale.shape), dt.reshape(shift.shape)
+
+
+_deconv_op.defvjp(_deconv_fwd, _deconv_bwd)
+
+
+# ============================ conv 5x5 s2 + lrelu =============================
+
+# tap k (0..4) reads parity plane k%2 at row offset k//2 of pad(x, (1, 3))
+# viewed as [B, (H+4)/2, 2, (W+4)/2, 2, C]; measured vs lax.conv stride-2 SAME
+_CONV_TAPS = tuple((k % 2, k // 2) for k in range(5))
+
+
+def _conv_kernel(xp_ref, w_ref, b_ref, o_ref, *, h2, w2, act):
+    acc = None
+    for kh in range(5):
+        ph, ah = _CONV_TAPS[kh]
+        for kw in range(5):
+            pw, aw = _CONV_TAPS[kw]
+            a = xp_ref[0, ah:ah + h2, ph, aw:aw + w2, pw, :]
+            a = a.reshape(h2 * w2, a.shape[-1])
+            part = jnp.dot(a, w_ref[kh, kw],
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    y = _ACTS[act](acc + b_ref[:]).astype(o_ref.dtype)
+    o_ref[0] = y.reshape(h2, w2, y.shape[-1])
+
+
+def _conv_pallas(xp6, w, b2, act: str, co_tile: int):
+    b, hq, _, wq, _, cin = xp6.shape
+    h2, w2 = hq - 2, wq - 2
+    co = w.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, h2=h2, w2=w2, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2, co), xp6.dtype),
+        grid=(co // co_tile, b),
+        in_specs=[
+            pl.BlockSpec((1, hq, 2, wq, 2, cin),
+                         lambda c, i: (i, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 5, cin, co_tile), lambda c, i: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h2, w2, co_tile),
+                               lambda c, i: (i, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 25 * b * h2 * w2 * cin * co,
+            bytes_accessed=(xp6.size + w.size) * xp6.dtype.itemsize
+            + b * h2 * w2 * co * xp6.dtype.itemsize,
+            transcendentals=0),
+    )(xp6, w, b2)
+    return out
+
+
+def _lax_conv_s2(x, w, b, act):
+    y = lax.conv_general_dilated(x, w.astype(x.dtype), (2, 2), "SAME",
+                                 dimension_numbers=_DIMS,
+                                 preferred_element_type=x.dtype)
+    return _ACTS[act]((y + b.astype(x.dtype)).astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_op(x, w, b, act: str):
+    bsz, h, w_, cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    xp6 = xp.reshape(bsz, (h + 4) // 2, 2, (w_ + 4) // 2, 2, cin)
+    b2 = b.reshape(1, -1).astype(jnp.float32)
+    co_tile = _pick_co_tile(cin, w.shape[-1])
+    return _conv_pallas(xp6, w.astype(x.dtype), b2, act, co_tile)
+
+
+def conv5x5_s2_act(x, w, b, act: str = "lrelu"):
+    """Fused ``act(conv(x, w, s=2, SAME) + b)`` — the discriminator
+    down-block.  Stride-2 taps become unit-stride reads of a free
+    parity-plane view of the padded input.  H, W must be even (true for all
+    power-of-two GAN resolutions); unaligned output channels take the lax
+    path on TPU (Mosaic lane constraint)."""
+    if _interpret() or w.shape[-1] % 128 == 0:
+        return _conv_op(x, w, b, act)
+    return _lax_conv_s2(x, w, b, act)
+
+
+def _conv_fwd(x, w, b, act):
+    return _conv_op(x, w, b, act), (x, w, b)
+
+
+def _conv_bwd(act, res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x_, w_, b_: _lax_conv_s2(x_, w_, b_, act), x, w, b)
+    return vjp(g)
+
+
+_conv_op.defvjp(_conv_fwd, _conv_bwd)

@@ -34,12 +34,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ENABLED = contextvars.ContextVar("pallas_enabled", default=True)
+# Default OFF: measured on v5e (2026-08-16, BASELINE.md "Pallas vs XLA"),
+# XLA's conv fusion wins this workload's shapes end-to-end (train step 10.0
+# vs 10.5 ms; eval-mode generator 3.5 vs 5.1 ms at B=256) — the kernels are
+# correct, equivalence-tested, and opt-in via cfg.use_pallas / use_pallas().
+_ENABLED = contextvars.ContextVar("pallas_enabled", default=False)
 
 
 def pallas_enabled() -> bool:
     """True when fused kernels should be used (flag on + TPU backend)."""
     return _ENABLED.get() and jax.default_backend() == "tpu"
+
+
+def set_default(on: bool) -> None:
+    """Process-wide default (cfg.use_pallas → Trainer sets this)."""
+    _ENABLED.set(on)
 
 
 @contextlib.contextmanager

@@ -79,6 +79,17 @@ def test_wgan_d_loss_signs():
     np.testing.assert_allclose(out["d_loss"], 0.0, atol=1e-6)
 
 
+def test_wgan_drift_penalty():
+    real = jnp.full(4, 2.0)
+    base = LL.wgan_cls_d_loss(real, real, real, gp=jnp.float32(0.0),
+                              mismatch_alpha=0.0, gp_lambda=0.0)
+    drift = LL.wgan_cls_d_loss(real, real, real, gp=jnp.float32(0.0),
+                               mismatch_alpha=0.0, gp_lambda=0.0,
+                               drift_epsilon=0.001)
+    np.testing.assert_allclose(float(drift["d_loss"] - base["d_loss"]),
+                               0.001 * 4.0, rtol=1e-6)
+
+
 def test_ca_kl_closed_form():
     mu = jnp.array([[0.0, 1.0]])
     logvar = jnp.array([[0.0, 0.0]])

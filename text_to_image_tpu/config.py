@@ -43,6 +43,8 @@ class CoeffConfig:
     mismatch_alpha: float = 0.5    # weight on the wrong-caption (matching-aware) term
     interp_beta: float = 0.5       # GAN-INT embedding interpolation coefficient
     interp_weight: float = 0.5     # weight of the GAN-INT generator loss term
+    drift_epsilon: float = 0.0     # optional ε·E[D(real)²] critic drift
+    # penalty (PGGAN-style score anchoring; 0 = reference WGAN-CLS behavior)
 
 
 @dataclass(frozen=True)

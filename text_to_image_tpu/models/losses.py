@@ -68,13 +68,18 @@ def interpolate_embeddings(emb: jax.Array, beta: float = 0.5) -> jax.Array:
 
 
 def wgan_cls_d_loss(real_score, fake_score, wrong_score, gp,
-                    mismatch_alpha: float, gp_lambda: float
-                    ) -> Dict[str, jax.Array]:
+                    mismatch_alpha: float, gp_lambda: float,
+                    drift_epsilon: float = 0.0) -> Dict[str, jax.Array]:
     e_real = jnp.mean(real_score.astype(jnp.float32))
     e_fake = jnp.mean(fake_score.astype(jnp.float32))
     e_wrong = jnp.mean(wrong_score.astype(jnp.float32))
     wdist = e_real - e_fake
     total = (e_fake - e_real) + mismatch_alpha * (e_wrong - e_real) + gp_lambda * gp
+    if drift_epsilon:
+        # optional score anchoring (critic values otherwise drift freely —
+        # the Wasserstein objective only constrains differences)
+        total = total + drift_epsilon * jnp.mean(
+            real_score.astype(jnp.float32) ** 2)
     return {"d_loss": total, "w_dist": wdist, "d_wrong": e_wrong, "gp": gp}
 
 

@@ -119,7 +119,8 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1000):
             eps = prng.uniform_eps(keps, real.shape[0])
             gp = LL.gradient_penalty(critic_on_images, real, fake, eps)
             ld = LL.wgan_cls_d_loss(logits[0], logits[1], logits[2], gp,
-                                    co.mismatch_alpha, co.gp_lambda)
+                                    co.mismatch_alpha, co.gp_lambda,
+                                    co.drift_epsilon)
         else:
             ld = LL.gan_cls_d_loss(logits[0], logits[1], logits[2])
         return ld["d_loss"], (new_d_state, ld)

@@ -100,10 +100,23 @@ class Trainer:
             self.ts, metrics = self.step_fn(self.ts, batch)
             ips = self.meter.tick()
             if (i + 1) % cfg.train.summary_interval == 0:
+                # reading a metric here is also the NaN guard: GANs diverge
+                # silently, the reference would train on — we stop with the
+                # last good checkpoint intact
+                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                bad = [k for k, v in host.items() if not np.isfinite(v)]
+                if bad:
+                    self.metrics.write(i + 1, host)
+                    raise FloatingPointError(
+                        f"non-finite metrics {bad} at step {i+1} — "
+                        f"diverged; restart from the last checkpoint "
+                        f"(consider lower lr or n_critic changes)")
                 if ips is not None:
-                    metrics = {**metrics, "images_per_sec": ips}
-                metrics = {**metrics, "epoch": i // self.steps_per_epoch}
-                self.metrics.write(i + 1, metrics)
+                    host["images_per_sec"] = ips
+                host["epoch"] = i // self.steps_per_epoch
+                from text_to_image_tpu.utils.metrics import hbm_stats
+                host.update(hbm_stats())
+                self.metrics.write(i + 1, host)
             if (i + 1) % cfg.train.sample_interval == 0:
                 self.save_samples(i + 1)
             if (i + 1) % cfg.train.snapshot_interval == 0:

@@ -39,6 +39,21 @@ class MetricWriter:
         self._f.close()
 
 
+def hbm_stats() -> Dict[str, float]:
+    """Device memory stats in GiB (empty dict if the backend has none)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        gib = 1024**3
+        out = {}
+        if "bytes_in_use" in stats:
+            out["hbm_in_use_gib"] = round(stats["bytes_in_use"] / gib, 3)
+        if "peak_bytes_in_use" in stats:
+            out["hbm_peak_gib"] = round(stats["peak_bytes_in_use"] / gib, 3)
+        return out
+    except Exception:
+        return {}
+
+
 class ThroughputMeter:
     """Images/sec over a sliding window, excluding the first (compile) step."""
 

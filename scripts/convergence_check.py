@@ -16,7 +16,10 @@ Run: python scripts/convergence_check.py [steps] [gancls|wgancls]
 (batches are staged on device once and cycled — keeps a tunneled TPU fed).
 """
 
+import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -111,6 +111,19 @@ def test_uint8_batch_matches_float_batch():
                                    err_msg=f"metric {k}")
 
 
+def test_stage2_remat_matches_no_remat():
+    """jax.checkpoint on the Stage-II generator must not change the math."""
+    cfg = tiny_config("stackgan_stage2", g_steps=1)
+    batch = make_batch(cfg)
+    _, m0 = make_train_step(cfg)(init_train_state(prng.base_key(0), cfg), batch)
+    cfg_r = cfg.replace(remat=True)
+    _, m1 = make_train_step(cfg_r)(init_train_state(prng.base_key(0), cfg_r),
+                                   batch)
+    for k in m0:
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), rtol=1e-5,
+                                   err_msg=f"metric {k} changed under remat")
+
+
 def test_multi_step_progression():
     cfg = tiny_config("gancls")
     ts = init_train_state(prng.base_key(0), cfg)

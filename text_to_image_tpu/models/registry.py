@@ -123,8 +123,13 @@ def get_model(cfg: Config) -> ModelBundle:
                 s1p, s1s, z, emb, k1, train=True, policy=policy,
                 resolution=lr_res)
             lr_img = jax.lax.stop_gradient(lr_img)
-            return stackgan.stage2_generator_apply(gp, gs, lr_img, emb, k2,
-                                                   train, policy)
+            apply = stackgan.stage2_generator_apply
+            if cfg.remat:
+                import functools
+                apply = jax.checkpoint(
+                    functools.partial(apply, train=train, policy=policy))
+                return apply(gp, gs, lr_img, emb, k2)
+            return apply(gp, gs, lr_img, emb, k2, train, policy)
 
         def disc_apply(dp, ds, x, emb, train, policy):
             return gancls.discriminator_apply(dp, ds, x, emb, train, policy,

@@ -51,8 +51,15 @@ class CheckpointManager:
         if step is None:
             return ts_like, None
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, ts_like)
-        restored = self._mgr.restore(step,
-                                     args=ocp.args.StandardRestore(abstract))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except (ValueError, KeyError) as e:
+            raise ValueError(
+                f"checkpoint at step {step} under {self._dir} does not match "
+                f"the current model/config structure (wrong model family, "
+                f"image_size, or network dims?) — point checkpoint_dir at a "
+                f"matching run or clear it. Original error:\n{e}") from e
         return restored, step
 
     def close(self):

@@ -16,8 +16,7 @@ is weight-compatible.  `init` gives random weights for pipeline tests.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ serves the 64-px GAN-CLS and tiny test configs.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ so grad-of-loss is one double-backprop XLA program).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,14 +15,12 @@ Bundle surface:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable
 
 import jax
 
 from text_to_image_tpu.config import Config
 from text_to_image_tpu.models import gancls, stackgan
-from text_to_image_tpu.ops import layers as L
-from text_to_image_tpu.utils import prng
 
 MODEL_NAMES = ("gancls", "wgancls", "stackgan_stage1", "stackgan_stage2")
 

@@ -28,7 +28,6 @@ convs).  Equivalence (fwd + grad, all parities, odd shapes) is tested in
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import optax
 
 from text_to_image_tpu.config import Config
 from text_to_image_tpu.models import losses as LL
-from text_to_image_tpu.models.registry import ModelBundle, get_model
+from text_to_image_tpu.models.registry import get_model
 from text_to_image_tpu.ops import layers as L
 from text_to_image_tpu.train import optim
 from text_to_image_tpu.train.state import TrainState, new_step_counter

@@ -44,7 +44,9 @@ def _baseline() -> float:
         return TF1_CPU_BASELINE_IMG_PER_SEC
 
 WARMUP_STEPS = 3
-MEASURE_STEPS = 30
+# wide windows amortize the per-window sync (a ~40ms RTT on tunneled dev
+# TPUs would otherwise inflate the per-step time by >10%)
+MEASURE_STEPS = 100
 
 
 def main():
@@ -87,14 +89,16 @@ def main():
     float(metrics["g_loss"])  # scalar fetch = hard sync (works on every
     # platform; block_until_ready does not actually block on tunneled TPUs)
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        ts, metrics = step(ts, batch_dev)
-    float(metrics["g_loss"])
-    dt = time.perf_counter() - t0
-
-    images = MEASURE_STEPS * batch  # one schedule tick consumes `batch` images
-    img_per_sec = images / dt
+    # median of 3 windows: robust to host-side jitter on shared machines
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            ts, metrics = step(ts, batch_dev)
+        float(metrics["g_loss"])
+        dt = time.perf_counter() - t0
+        rates.append(MEASURE_STEPS * batch / dt)
+    img_per_sec = sorted(rates)[1]
     img_per_sec_per_chip = img_per_sec / n_chips
 
     print(json.dumps({

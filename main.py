@@ -36,11 +36,15 @@ def main():
     overrides = {}
     for kv in args.set:
         k, v = kv.split("=", 1)
-        try:
-            import ast
-            v = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            pass
+        low = v.strip().lower()
+        if low in ("true", "false"):     # YAML-style bools from the shell
+            v = low == "true"
+        else:
+            try:
+                import ast
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass
         overrides[k] = v
     cfg = load_config(args.cfg, overrides or None)
 

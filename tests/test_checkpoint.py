@@ -59,6 +59,17 @@ def test_resume_continues_identically(tmp_path):
     mgr.close()
 
 
+def test_async_save_then_restore(tmp_path):
+    cfg = tiny_config("gancls")
+    ts = init_train_state(prng.base_key(0), cfg)
+    mgr = C.CheckpointManager(str(tmp_path / "acs"), async_save=True)
+    mgr.save(3, jax.device_get(ts))
+    restored, step = mgr.restore(init_train_state(prng.base_key(0), cfg))
+    assert step == 3
+    _trees_equal(ts.g_params, restored.g_params)
+    mgr.close()
+
+
 def test_latest_step_none_when_empty(tmp_path):
     mgr = C.CheckpointManager(str(tmp_path / "empty"))
     cfg = tiny_config("gancls")

@@ -102,6 +102,8 @@ class Config:
     stage1_checkpoint: str = ""    # StackGAN Stage-II restores Stage-I G from here
     use_pallas: bool = False       # opt-in fused Pallas kernels (XLA default
     # measured faster for these model shapes — see BASELINE.md / ops/pallas)
+    async_checkpoint: bool = False  # background (Orbax async) snapshots —
+    # the device keeps stepping during saves; restore/close always wait
     remat: bool = False            # rematerialize the Stage-II generator
     # (jax.checkpoint): trades ~1 extra G forward for activation memory —
     # headroom for >256px stages; 256px fits v5e HBM without it

@@ -1,6 +1,11 @@
+from text_to_image_tpu.ops.pallas.conv import (  # noqa: F401
+    conv5x5_s2_act,
+    deconv5x5_s2,
+)
 from text_to_image_tpu.ops.pallas.fused import (  # noqa: F401
     bn_act,
     conditioning_join,
     pallas_enabled,
+    set_default,
     use_pallas,
 )

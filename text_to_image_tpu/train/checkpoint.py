@@ -27,18 +27,25 @@ def _abspath(path: str) -> str:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 async_save: bool = False):
+        """async_save=True writes in the background (Orbax async) so the
+        train loop keeps stepping during snapshots; `close()`/`restore()`
+        always wait for in-flight saves."""
         self._dir = _abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False),
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save),
         )
 
     def save(self, step: int, ts: TrainState) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(ts))
-        self._mgr.wait_until_finished()
+        if not self._async:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -47,6 +54,7 @@ class CheckpointManager:
                 ) -> Tuple[TrainState, Optional[int]]:
         """Restore latest (or `step`) into the structure of `ts_like`.
         Returns (state, restored_step) — (ts_like, None) if nothing saved."""
+        self._mgr.wait_until_finished()
         step = self.latest_step() if step is None else step
         if step is None:
             return ts_like, None
@@ -63,6 +71,7 @@ class CheckpointManager:
         return restored, step
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

@@ -47,7 +47,8 @@ class Trainer:
 
         run_dir = os.path.join(cfg.checkpoint_dir, cfg.model,
                                cfg.data.dataset_name)
-        self.ckpt = ckpt.CheckpointManager(run_dir)
+        self.ckpt = ckpt.CheckpointManager(run_dir,
+                                           async_save=cfg.async_checkpoint)
         if restore:
             ts, restored = self.ckpt.restore(ts)
             if restored is not None:

@@ -29,12 +29,11 @@ def parse_args():
     return p.parse_args()
 
 
-def main():
-    args = parse_args()
-    from text_to_image_tpu.config import load_config
-
+def parse_overrides(pairs):
+    """KEY=VALUE strings → typed overrides (YAML-style bools, Python
+    literals, bare strings)."""
     overrides = {}
-    for kv in args.set:
+    for kv in pairs:
         k, v = kv.split("=", 1)
         low = v.strip().lower()
         if low in ("true", "false"):     # YAML-style bools from the shell
@@ -46,7 +45,14 @@ def main():
             except (ValueError, SyntaxError):
                 pass
         overrides[k] = v
-    cfg = load_config(args.cfg, overrides or None)
+    return overrides
+
+
+def main():
+    args = parse_args()
+    from text_to_image_tpu.config import load_config
+
+    cfg = load_config(args.cfg, parse_overrides(args.set) or None)
 
     if args.train:
         from text_to_image_tpu.train.trainer import Trainer

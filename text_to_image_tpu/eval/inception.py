@@ -92,13 +92,15 @@ def simple_classifier_apply(params, images: jax.Array) -> jax.Array:
 
 
 def load_classifier(path: str) -> Callable:
-    """Load a converted dataset-finetuned Inception classifier (.npz of
-    params for `simple_classifier_apply`-compatible or Inception weights).
+    """Load a converted dataset-finetuned classifier checkpoint (.npz from
+    ``scripts/convert_inception.py`` for full InceptionV3 weights, or a
+    `simple_classifier` param tree — auto-detected).
 
     The reference's finetuned TF1 inception checkpoints
-    (hanzhanggit/StackGAN-inception-model) are not redistributable here and
-    the build environment has no network; once available, convert with
-    scripts/convert_inception.py (TODO round-2) and point cfg eval at it.
+    (hanzhanggit/StackGAN-inception-model) are not redistributable and this
+    build environment has no network; convert them offline via torch →
+    ``scripts/convert_inception.py`` and point eval here for IS numbers
+    comparable to the reference's.
     """
     import os
     if not os.path.exists(path):
@@ -107,6 +109,10 @@ def load_classifier(path: str) -> Callable:
             "conversion path")
     data = np.load(path, allow_pickle=True)
     params = jax.tree.map(jnp.asarray, data["params"].item())
+
+    if "mixed_5b" in params:                      # full InceptionV3 tree
+        from text_to_image_tpu.eval import inception_v3 as iv3
+        return iv3.make_classifier(params)
 
     @jax.jit
     def classifier(images):

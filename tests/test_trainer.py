@@ -52,3 +52,31 @@ def test_trainer_end_to_end(run_cfg):
         assert int(np.asarray(t2.ts.step)) == 6
     finally:
         t2.close()
+
+
+def test_trainer_wgancls_end_to_end(tmp_path):
+    """The n_critic>1 pipeline contract (stacked per-critic batches) through
+    the real Trainer + GP double-backprop."""
+    cfg = tiny_config("wgancls")
+    cfg = cfg.replace(
+        checkpoint_dir=str(tmp_path / "ck"),
+        sample_dir=str(tmp_path / "samples"),
+        log_dir=str(tmp_path / "logs"),
+        train=cfg.train.__class__(
+            batch_size=8, max_epoch=1, summary_interval=2,
+            sample_interval=10**9, snapshot_interval=10**9,
+            n_critic=2, g_steps=1, beta1=0.0),
+    )
+    env = create_mesh(data=8, model=1)
+    t = Trainer(cfg, env=env)
+    try:
+        t.train(num_steps=3)
+        assert int(np.asarray(t.ts.step)) == 3
+        logs = glob.glob(os.path.join(cfg.log_dir, "**", "*.jsonl"),
+                         recursive=True)
+        assert logs
+        import json
+        last = json.loads(open(logs[0]).read().strip().splitlines()[-1])
+        assert "gp" in last and np.isfinite(last["gp"])
+    finally:
+        t.close()

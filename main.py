@@ -96,23 +96,27 @@ def evaluate(cfg, eval_is: bool = False, is_images: int = 3000):
 
     save_images(sample_grid(gen, ts, cfg, emb, k),
                 os.path.join(out, f"eval_grid_{step}.png"))
-    imgs, grid = latent_interpolation_grid(gen, ts, cfg, emb[:8], 8,
+    rows = max(1, min(8, len(emb) // 2))   # robust to tiny test splits
+    imgs, grid = latent_interpolation_grid(gen, ts, cfg, emb[:rows], 8,
                                            jax.random.fold_in(k, 1))
     save_images(imgs, os.path.join(out, f"z_interp_{step}.png"), grid)
-    imgs, grid = text_interpolation_grid(gen, ts, cfg, emb[:8], emb[8:16], 8,
+    imgs, grid = text_interpolation_grid(gen, ts, cfg, emb[:rows],
+                                         emb[rows:2 * rows], 8,
                                          jax.random.fold_in(k, 2))
     save_images(imgs, os.path.join(out, f"t_interp_{step}.png"), grid)
     print(f"wrote grids under {out}")
 
     if eval_is:
         # reference IS protocol (SURVEY.md §3.5): finetune the classifier on
-        # the dataset, generate from test captions, IS over 10 splits
+        # the TRAIN split, generate from test captions, IS over 10 splits
+        from text_to_image_tpu.data import get_dataset as _get
         from text_to_image_tpu.eval.classifier import (make_classifier_fn,
                                                        train_classifier)
         from text_to_image_tpu.eval.inception import compute_inception_score
-        num_classes = int(dataset.class_ids.max()) + 1
+        train_ds = _get(cfg, split="train")
+        num_classes = int(train_ds.class_ids.max()) + 1
         print(f"finetuning eval classifier ({num_classes} classes)…")
-        clf_params, acc = train_classifier(dataset.images, dataset.class_ids,
+        clf_params, acc = train_classifier(train_ds.images, train_ds.class_ids,
                                            num_classes, steps=300)
         print(f"classifier train accuracy {acc:.3f}")
         classifier = make_classifier_fn(clf_params)

@@ -48,14 +48,23 @@ def load_image(path: str) -> np.ndarray:
 
 
 def load_t7_embeddings(path: str) -> np.ndarray:
-    """Load a reedscot/icml2016 char-CNN-RNN .t7 embedding file."""
-    try:
-        import torchfile
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "reading .t7 embeddings needs the `torchfile` package; convert "
-            "them offline to .npz (key 'embeddings' [N,C,1024]) instead") from e
-    data = torchfile.load(path)
+    """Load a reedscot/icml2016 char-CNN-RNN .t7 embedding file using the
+    bundled dependency-free torch7 reader (`data/t7.py`) — no `torchfile`
+    needed.  Accepts a bare tensor, a lua array of per-image tensors, or a
+    table with a tensor under 'fea_txt'/'embeddings'/'txt'."""
+    from text_to_image_tpu.data.t7 import load_t7
+    data = load_t7(path)
+    if isinstance(data, dict):
+        for key in ("fea_txt", "embeddings", "txt"):
+            if key in data:
+                data = data[key]
+                break
+        else:
+            raise ValueError(
+                f".t7 table at {path} has no tensor under fea_txt/embeddings/"
+                f"txt (keys: {sorted(map(str, data))})")
+    if isinstance(data, list):
+        data = np.stack([np.asarray(x) for x in data])
     return np.asarray(data, dtype=np.float32)
 
 
@@ -117,23 +126,143 @@ def preprocess(images_dir: str, embeddings_path: str, out_dir: str,
             write_split(out_dir, split, fn, im, np.stack(em), cl)
 
 
-def main():  # pragma: no cover
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--images", required=True)
-    p.add_argument("--embeddings", required=True)
-    p.add_argument("--classes", required=True,
-                   help="txt: '<filename> <class_id> [train|test]' per line")
-    p.add_argument("--out", required=True)
-    args = p.parse_args()
+# -- dataset-specific converters (SURVEY.md §2 "Preprocess scripts":
+# reference preprocess_flowers / preprocess_birds) -------------------------
 
-    class_map, split_map = {}, {}
-    with open(args.classes) as f:
+
+def preprocess_flowers(raw_dir: str, embeddings_path: str, out_dir: str
+                       ) -> None:
+    """Oxford-102 flowers → StackGAN pickles.
+
+    Expects the official raw layout under ``raw_dir``:
+    * ``jpg/image_%05d.jpg`` — 8189 images
+    * ``setid.mat``      — 'trnid'/'valid'/'tstid' 1-based image-id splits
+    * ``imagelabels.mat`` — 'labels' [1,N] 1..102 class per image
+
+    Split convention: train = trnid ∪ valid, test = tstid.  Embeddings must
+    be [N, C, 1024] in image-id order (reedscot/icml2016 char-CNN-RNN).
+    """
+    from scipy.io import loadmat
+
+    setid = loadmat(os.path.join(raw_dir, "setid.mat"))
+    labels = loadmat(os.path.join(raw_dir, "imagelabels.mat"))
+    class_per_image = np.asarray(labels["labels"]).ravel().astype(int)  # 1-based idx
+    train_ids = np.sort(np.concatenate([
+        np.asarray(setid["trnid"]).ravel(),
+        np.asarray(setid["valid"]).ravel()])).astype(int)
+    test_ids = np.sort(np.asarray(setid["tstid"]).ravel()).astype(int)
+
+    embeddings = load_embeddings(embeddings_path)
+    n = len(class_per_image)
+    assert len(embeddings) == n, (
+        f"{len(embeddings)} embedding rows vs {n} labeled images")
+
+    for split, ids in (("train", train_ids), ("test", test_ids)):
+        names = [f"image_{i:05d}.jpg" for i in ids]
+        imgs = [load_image(os.path.join(raw_dir, "jpg", nm)) for nm in names]
+        write_split(out_dir, split, names, imgs,
+                    embeddings[ids - 1], class_per_image[ids - 1])
+
+
+def _cub_bbox_crop(img: np.ndarray, bbox: Sequence[float]) -> np.ndarray:
+    """StackGAN bird crop: a square of radius 0.75·max(w,h) centred on the
+    bounding-box centre, clipped to the image (the bird fills ~2/3 of the
+    crop — the published StackGAN preprocessing recipe)."""
+    x, y, w, h = bbox
+    height, width = img.shape[:2]
+    r = int(np.maximum(w, h) * 0.75)
+    cx = int((2 * x + w) / 2)
+    cy = int((2 * y + h) / 2)
+    y1, y2 = max(0, cy - r), min(height, cy + r)
+    x1, x2 = max(0, cx - r), min(width, cx + r)
+    return img[y1:y2, x1:x2]
+
+
+def _read_cub_index(path: str) -> Dict[int, List[str]]:
+    out: Dict[int, List[str]] = {}
+    with open(path) as f:
         for line in f:
             parts = line.split()
-            class_map[parts[0]] = int(parts[1])
-            if len(parts) > 2:
-                split_map[parts[0]] = parts[2]
-    preprocess(args.images, args.embeddings, args.out, class_map, split_map)
+            if parts:
+                out[int(parts[0])] = parts[1:]
+    return out
+
+
+def preprocess_birds(raw_dir: str, embeddings_path: str, out_dir: str
+                     ) -> None:
+    """CUB-200-2011 birds → StackGAN pickles.
+
+    Expects the official raw layout under ``raw_dir``:
+    * ``images/<class_dir>/<name>.jpg``
+    * ``images.txt``            — '<id> <relpath>'
+    * ``train_test_split.txt``  — '<id> <is_train>'
+    * ``image_class_labels.txt``— '<id> <class 1..200>'
+    * ``bounding_boxes.txt``    — '<id> <x> <y> <w> <h>'
+
+    Images are bounding-box cropped (StackGAN recipe) before resizing.
+    Embeddings must be [N, C, 1024] in image-id order.
+    """
+    names = _read_cub_index(os.path.join(raw_dir, "images.txt"))
+    split = _read_cub_index(os.path.join(raw_dir, "train_test_split.txt"))
+    labels = _read_cub_index(os.path.join(raw_dir, "image_class_labels.txt"))
+    bboxes = _read_cub_index(os.path.join(raw_dir, "bounding_boxes.txt"))
+
+    embeddings = load_embeddings(embeddings_path)
+    ids = sorted(names)
+    assert len(embeddings) == len(ids), (
+        f"{len(embeddings)} embedding rows vs {len(ids)} images")
+
+    per_split: Dict[str, Tuple[List, List, List, List]] = {
+        "train": ([], [], [], []), "test": ([], [], [], [])}
+    for pos, i in enumerate(ids):
+        rel = names[i][0]
+        img = load_image(os.path.join(raw_dir, "images", rel))
+        img = _cub_bbox_crop(img, [float(v) for v in bboxes[i]])
+        dest = "train" if int(split[i][0]) == 1 else "test"
+        fn, im, em, cl = per_split[dest]
+        fn.append(rel)
+        im.append(img)
+        em.append(embeddings[pos])
+        cl.append(int(labels[i][0]))
+    for dest, (fn, im, em, cl) in per_split.items():
+        if fn:
+            write_split(out_dir, dest, fn, im, np.stack(em), cl)
+
+
+def main():  # pragma: no cover
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="dataset")
+
+    for name in ("flowers", "birds"):
+        sp = sub.add_parser(name, help=f"official raw {name} layout")
+        sp.add_argument("--raw", required=True, help="raw dataset root")
+        sp.add_argument("--embeddings", required=True)
+        sp.add_argument("--out", required=True)
+
+    gen = sub.add_parser("generic", help="user-supplied classes.txt mapping")
+    gen.add_argument("--images", required=True)
+    gen.add_argument("--embeddings", required=True)
+    gen.add_argument("--classes", required=True,
+                     help="txt: '<filename> <class_id> [train|test]' per line")
+    gen.add_argument("--out", required=True)
+
+    args = p.parse_args()
+    if args.dataset == "flowers":
+        preprocess_flowers(args.raw, args.embeddings, args.out)
+    elif args.dataset == "birds":
+        preprocess_birds(args.raw, args.embeddings, args.out)
+    elif args.dataset == "generic":
+        class_map, split_map = {}, {}
+        with open(args.classes) as f:
+            for line in f:
+                parts = line.split()
+                class_map[parts[0]] = int(parts[1])
+                if len(parts) > 2:
+                    split_map[parts[0]] = parts[2]
+        preprocess(args.images, args.embeddings, args.out, class_map,
+                   split_map)
+    else:
+        p.print_help()
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -121,12 +121,15 @@ class TextDataset:
 
     def _wrong_indices(self, idx: np.ndarray) -> np.ndarray:
         """A mismatched image per example: uniformly random with a different
-        class id (the matching-aware 'wrong' pair)."""
+        class id (the matching-aware 'wrong' pair).  Vectorized rejection —
+        only the colliding lanes resample each round, so the host cost stays
+        O(batch) regardless of class skew."""
         out = self._rng.integers(0, self.num_examples, size=len(idx))
-        for i, (j, w) in enumerate(zip(idx, out)):
-            while self.class_ids[w] == self.class_ids[j]:
-                w = self._rng.integers(0, self.num_examples)
-            out[i] = w
+        same = self.class_ids[out] == self.class_ids[idx]
+        while same.any():
+            out[same] = self._rng.integers(0, self.num_examples,
+                                           size=int(same.sum()))
+            same = self.class_ids[out] == self.class_ids[idx]
         return out
 
     # -- batching ---------------------------------------------------------

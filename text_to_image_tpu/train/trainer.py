@@ -130,7 +130,10 @@ class Trainer:
                            self._sample_key)
         path = os.path.join(self.cfg.sample_dir, self.cfg.model,
                             self.cfg.data.dataset_name, f"train_{step:08d}.png")
-        return save_images(imgs, path)
+        out = save_images(imgs, path)
+        from text_to_image_tpu.utils.images import inverse_transform, merge
+        self.metrics.write_image(step, "samples", merge(inverse_transform(imgs)))
+        return out
 
     def save_checkpoint(self) -> None:
         step = int(jax.device_get(self.ts.step))

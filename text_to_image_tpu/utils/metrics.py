@@ -3,7 +3,9 @@
 framework's north-star metric.
 
 Metrics land as JSON-lines (one dict per write) — trivially plottable and
-diffable; a TensorBoard writer can be layered on the same interface later.
+diffable — and, in parallel, as TensorBoard event files via the pure-Python
+encoder in ``utils/tensorboard.py`` (matching the reference's FileWriter
+output without a TF dependency).
 """
 
 from __future__ import annotations
@@ -14,15 +16,20 @@ import time
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 
 class MetricWriter:
     def __init__(self, log_dir: str, name: str = "train",
-                 also_print: bool = True):
+                 also_print: bool = True, tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, f"{name}.jsonl")
         self._f = open(self._path, "a")
         self._print = also_print
+        self._tb = None
+        if tensorboard:
+            from text_to_image_tpu.utils.tensorboard import TBEventWriter
+            self._tb = TBEventWriter(log_dir)
 
     def write(self, step: int, metrics: Dict) -> None:
         rec = {"step": int(step)}
@@ -30,13 +37,26 @@ class MetricWriter:
             rec[k] = float(jax.device_get(v)) if hasattr(v, "dtype") else v
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "step" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, rec["step"])
+            self._tb.flush()
         if self._print:
             body = " ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                             for k, v in rec.items() if k != "step")
             print(f"[step {rec['step']}] {body}")
 
+    def write_image(self, step: int, tag: str, image: np.ndarray) -> None:
+        """Log a uint8 [H, W, C] image summary (sample grids)."""
+        if self._tb is not None:
+            self._tb.add_image(tag, image, int(step))
+            self._tb.flush()
+
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def hbm_stats() -> Dict[str, float]:

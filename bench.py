@@ -2,46 +2,44 @@
 training (BASELINE.json: "images/sec/chip @64×64 GAN-CLS train").
 
 Runs the full compiled train step (D update + 2 G updates, the reference's
-schedule) on synthetic data with the flagship dims (gf=128, df=64, z=100,
-embed=1024, batch 64/chip), measures steady-state throughput after warmup,
-and prints ONE JSON line:
+schedule) with the flagship dims (gf=128, df=64, z=100, embed=1024, batch
+64/chip), measures steady-state throughput after warmup, and prints ONE JSON
+line:
 
     {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s/chip",
-     "vs_baseline": N}
+     "vs_baseline": N, "pipeline_value": N, ...}
 
-vs_baseline compares against the reference's TF1-CPU throughput.  The
-reference repo publishes no numbers (BASELINE.json "published": {}) and the
-reference mount was empty, so the baseline constant below is a documented
-ESTIMATE of TF1-CPU GAN-CLS 64×64 throughput (single CPU, batch 64);
-BASELINE.md tracks replacing it with a measured value.  The north-star target
-is ≥20× that baseline.
+Two throughputs are measured each run:
+
+* `value` — device-only: one pre-staged on-device batch stepped repeatedly
+  (pure compiled-program speed, the comparable kernel number).
+* `pipeline_value` — end-to-end: batches flow through the real host input
+  pipeline (TextDataset serving path: C++ crop/flip/normalize kernels,
+  caption windowing, wrong-pair rejection, uint8 host→HBM transfer, prefetch
+  threads) exactly as `Trainer` runs it.  This is the number a training run
+  actually sees.
+
+vs_baseline compares against the reference's TF1 single-host CPU throughput.
+The reference publishes no numbers (BASELINE.json "published": {}) and the
+mount was empty, so the baseline is the MORE CONSERVATIVE of (a) the measured
+same-host torch-CPU proxy (BASELINE_MEASURED.json — note: this host has ONE
+CPU core, so that proxy is a 1-thread number) and (b) a documented 25 img/s
+estimate of a multi-core TF1-era desktop.  Taking the max avoids overstating
+the multiplier on a weak bench host.  The north-star target is ≥20×.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
 
 import numpy as np
 
-# Estimated TF1 single-CPU GAN-CLS 64x64 images/sec, used only when no
-# measured baseline exists (see module docstring).
+# Estimated multi-core TF1 single-host CPU GAN-CLS 64x64 images/sec (see
+# module docstring). Used as a floor under the measured 1-thread proxy.
 TF1_CPU_BASELINE_IMG_PER_SEC = 25.0
-
-
-def _baseline() -> float:
-    """Prefer the measured same-host CPU baseline (scripts/
-    baseline_torch_cpu.py → BASELINE_MEASURED.json): same workload, same
-    machine, torch-CPU as the TF1-era proxy.  Falls back to the documented
-    estimate."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BASELINE_MEASURED.json")
-    try:
-        with open(path) as f:
-            return float(json.load(f)["images_per_sec"])
-    except (OSError, KeyError, ValueError):
-        return TF1_CPU_BASELINE_IMG_PER_SEC
 
 WARMUP_STEPS = 3
 # wide windows amortize the per-window sync (a ~40ms RTT on tunneled dev
@@ -49,7 +47,49 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 100
 
 
+def _baseline() -> tuple[float, str]:
+    """Conservative TF1-CPU proxy: max(measured 1-thread torch proxy,
+    documented multi-core estimate)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    measured = 0.0
+    try:
+        with open(path) as f:
+            measured = float(json.load(f)["images_per_sec"])
+    except (OSError, KeyError, ValueError):
+        pass
+    if measured >= TF1_CPU_BASELINE_IMG_PER_SEC:
+        return measured, "measured torch-CPU proxy"
+    return (TF1_CPU_BASELINE_IMG_PER_SEC,
+            f"25 img/s multi-core TF1-era estimate "
+            f"(measured 1-thread proxy: {measured or 'n/a'})")
+
+
+def _measure(step, ts, feed, batch: int, windows: int, steps: int):
+    """Median images/sec over `windows` timed windows; `feed()` yields the
+    batch for each step (constant for device-only, pipeline-fed otherwise)."""
+    rates = []
+    metrics = None
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            ts, metrics = step(ts, feed())
+        float(metrics["g_loss"])  # scalar fetch = hard sync (works on every
+        # platform; block_until_ready does not actually block on tunneled TPUs)
+        dt = time.perf_counter() - t0
+        rates.append(steps * batch / dt)
+    return sorted(rates)[len(rates) // 2], ts
+
+
 def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=64, help="per-chip batch")
+    p.add_argument("--device-only", action="store_true",
+                   help="skip the pipeline-fed measurement")
+    p.add_argument("--pipeline-only", action="store_true",
+                   help="skip the device-only measurement")
+    args = p.parse_args()
+
     import jax
 
     from text_to_image_tpu.config import Config, DataConfig, TrainConfig
@@ -60,7 +100,7 @@ def main():
 
     n_chips = len(jax.devices())
     env = create_mesh(data=n_chips, model=1)
-    per_chip_batch = 64
+    per_chip_batch = args.batch
     batch = per_chip_batch * n_chips
 
     cfg = Config(
@@ -77,8 +117,8 @@ def main():
     rng = np.random.default_rng(0)
     k = cfg.train.n_critic
     host = {
-        "real": rng.uniform(-1, 1, (k, batch, 64, 64, 3)).astype(np.float32),
-        "wrong": rng.uniform(-1, 1, (k, batch, 64, 64, 3)).astype(np.float32),
+        "real": rng.integers(0, 256, (k, batch, 64, 64, 3), dtype=np.uint8),
+        "wrong": rng.integers(0, 256, (k, batch, 64, 64, 3), dtype=np.uint8),
         "emb": rng.normal(size=(k, batch, cfg.gan.embed_dim)).astype(np.float32),
     }
     data_sharding = NamedSharding(env.mesh, P(None, "data"))
@@ -86,26 +126,55 @@ def main():
 
     for _ in range(WARMUP_STEPS):
         ts, metrics = step(ts, batch_dev)
-    float(metrics["g_loss"])  # scalar fetch = hard sync (works on every
-    # platform; block_until_ready does not actually block on tunneled TPUs)
+    float(metrics["g_loss"])
 
-    # median of 3 windows: robust to host-side jitter on shared machines
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            ts, metrics = step(ts, batch_dev)
-        float(metrics["g_loss"])
-        dt = time.perf_counter() - t0
-        rates.append(MEASURE_STEPS * batch / dt)
-    img_per_sec = sorted(rates)[1]
-    img_per_sec_per_chip = img_per_sec / n_chips
+    img_per_chip = None
+    if not args.pipeline_only:
+        # median of 3 windows: robust to host-side jitter on shared machines
+        rate, ts = _measure(step, ts, lambda: batch_dev, batch, 3, MEASURE_STEPS)
+        img_per_chip = round(rate / n_chips, 2)
 
+    pipe_per_chip = None
+    if not args.device_only:
+        try:
+            from text_to_image_tpu.data.pipeline import InputPipeline
+            from text_to_image_tpu.data.textdataset import TextDataset
+            n_ex, n_cls = 512, 16
+            cls = rng.integers(0, n_cls, n_ex)
+            cent = rng.normal(size=(n_cls, cfg.gan.embed_dim)).astype(np.float32)
+            embs = (cent[cls][:, None, :] + 0.1 * rng.normal(
+                size=(n_ex, 5, cfg.gan.embed_dim))).astype(np.float32)
+            imgs = rng.integers(0, 256, (n_ex, 76, 76, 3), dtype=np.uint8)
+            ds = TextDataset.from_arrays(imgs, embs, cls, image_size=64)
+            # workers=1 measured best on this 1-core bench host (threads
+            # add GIL contention; transfers already pipeline via async
+            # dispatch) — raise on real multi-core hosts
+            pipe = InputPipeline(ds, batch, env=env, batches_per_step=k,
+                                 prefetch=4, workers=1)
+            try:
+                it = iter(pipe)
+                for _ in range(WARMUP_STEPS):
+                    ts, metrics = step(ts, next(it))
+                float(metrics["g_loss"])
+                rate, ts = _measure(step, ts, lambda: next(it), batch, 3, 50)
+                pipe_per_chip = round(rate / n_chips, 2)
+            finally:
+                pipe.close()
+        except Exception as e:  # pipeline bench must never sink the harness
+            pipe_per_chip = f"failed: {type(e).__name__}: {e}"
+
+    base, base_src = _baseline()
+    primary = img_per_chip if img_per_chip is not None else pipe_per_chip
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
-        "value": round(img_per_sec_per_chip, 2),
-        "unit": "img/s/chip (GAN-CLS 64x64 train, bf16, batch 64/chip)",
-        "vs_baseline": round(img_per_sec_per_chip / _baseline(), 2),
+        "value": primary,
+        "unit": "img/s/chip (GAN-CLS 64x64 train, bf16, batch "
+                f"{per_chip_batch}/chip)",
+        "vs_baseline": round(primary / base, 2)
+        if isinstance(primary, (int, float)) else None,
+        "pipeline_value": pipe_per_chip,
+        "baseline_img_per_sec": base,
+        "baseline_source": base_src,
     }))
 
 

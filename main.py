@@ -107,19 +107,31 @@ def evaluate(cfg, eval_is: bool = False, is_images: int = 3000):
     print(f"wrote grids under {out}")
 
     if eval_is:
-        # reference IS protocol (SURVEY.md §3.5): finetune the classifier on
-        # the TRAIN split, generate from test captions, IS over 10 splits
-        from text_to_image_tpu.data import get_dataset as _get
-        from text_to_image_tpu.eval.classifier import (make_classifier_fn,
-                                                       train_classifier)
+        # reference IS protocol (SURVEY.md §3.5): a dataset-finetuned
+        # Inception classifies generated images; IS over 10 splits.  A
+        # converted finetuned InceptionV3 (.npz via scripts/
+        # convert_inception.py) gives absolute parity with the reference's
+        # numbers; without one, finetune the self-contained classifier on
+        # the TRAIN split (offline fallback, same protocol).
         from text_to_image_tpu.eval.inception import compute_inception_score
-        train_ds = _get(cfg, split="train")
-        num_classes = int(train_ds.class_ids.max()) + 1
-        print(f"finetuning eval classifier ({num_classes} classes)…")
-        clf_params, acc = train_classifier(train_ds.images, train_ds.class_ids,
-                                           num_classes, steps=300)
-        print(f"classifier train accuracy {acc:.3f}")
-        classifier = make_classifier_fn(clf_params)
+        inception_npz = cfg.inception_checkpoint or os.path.join(
+            cfg.data.data_dir, "inception.npz")
+        if os.path.exists(inception_npz):
+            from text_to_image_tpu.eval.inception import load_classifier
+            print(f"using converted classifier checkpoint {inception_npz}")
+            classifier = load_classifier(inception_npz)
+        else:
+            from text_to_image_tpu.data import get_dataset as _get
+            from text_to_image_tpu.eval.classifier import (make_classifier_fn,
+                                                           train_classifier)
+            train_ds = _get(cfg, split="train")
+            num_classes = int(train_ds.class_ids.max()) + 1
+            print(f"finetuning eval classifier ({num_classes} classes)…")
+            clf_params, acc = train_classifier(train_ds.images,
+                                               train_ds.class_ids,
+                                               num_classes, steps=300)
+            print(f"classifier train accuracy {acc:.3f}")
+            classifier = make_classifier_fn(clf_params)
 
         def gen_batch(z, e, kk):
             return gen(ts.g_params, ts.g_state, ts.aux, z, e, kk)
@@ -127,7 +139,8 @@ def evaluate(cfg, eval_is: bool = False, is_images: int = 3000):
         mean, std = compute_inception_score(
             gen_batch, classifier, np.asarray(dataset.test_embeddings(),
                                               np.float32),
-            num_images=is_images, batch_size=64, z_dim=cfg.gan.z_dim,
+            num_images=is_images, batch_size=min(64, is_images),
+            z_dim=cfg.gan.z_dim,
             seed=cfg.seed)
         print(f"Inception score: {mean:.3f} ± {std:.3f} "
               f"({is_images} images, 10 splits)")

@@ -114,3 +114,24 @@ def test_pipeline_shards_over_mesh():
 
     with pytest.raises(ValueError):
         InputPipeline(ds, batch_size=12, env=env)  # 12 % 8 != 0
+
+
+def test_textdataset_from_arrays_serves_like_pickles():
+    """In-memory constructor (bench harness path) uses the same serving
+    path: crop to target size, [-1,1] range when raw_uint8=False, wrong
+    pairs from a different class, windowed caption averaging."""
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (24, 76, 76, 3), dtype=np.uint8)
+    embs = rng.normal(size=(24, 5, 32)).astype(np.float32)
+    cls = np.arange(24) % 4
+    ds = TextDataset.from_arrays(imgs, embs, cls, image_size=64,
+                                 raw_uint8=False, seed=1)
+    b = ds.next_batch(8, window=4)
+    assert b["real"].shape == (8, 64, 64, 3)
+    assert b["real"].dtype == np.float32
+    assert b["real"].min() >= -1.0 and b["real"].max() <= 1.0
+    assert b["emb"].shape == (8, 32)
+
+    ds8 = TextDataset.from_arrays(imgs, embs, cls, image_size=64, seed=1)
+    b8 = ds8.next_batch(8, window=4)
+    assert b8["real"].dtype == np.uint8

@@ -19,12 +19,21 @@ def _lax_deconv(x, w, s, t, act):
     return K._ACTS[act](y).astype(x.dtype)
 
 
+@pytest.fixture(params=["vmem", "hbm"])
+def staging(request, monkeypatch):
+    """Both tap-staging variants (in-VMEM pad vs HBM-materialized padded
+    view) must stay equivalent — the TPU dispatch picks by measurement."""
+    monkeypatch.setattr(K, "_DECONV_STAGING", request.param)
+    monkeypatch.setattr(K, "_CONV_STAGING", request.param)
+    return request.param
+
+
 @pytest.mark.parametrize("shape,co", [((2, 4, 4, 16), 8),
                                       ((3, 8, 8, 8), 16),
                                       ((2, 5, 7, 4), 8),   # odd spatial
                                       ((2, 8, 8, 8), 3)])  # RGB output
 @pytest.mark.parametrize("act", ["none", "relu", "tanh"])
-def test_deconv_forward_matches_lax(shape, co, act):
+def test_deconv_forward_matches_lax(shape, co, act, staging):
     cin = shape[-1]
     x = jax.random.normal(KEY, shape)
     w = jax.random.normal(jax.random.fold_in(KEY, 1), (5, 5, cin, co)) * 0.1
@@ -67,7 +76,7 @@ def _lax_conv(x, w, b, act):
 @pytest.mark.parametrize("shape,co", [((2, 8, 8, 3), 8),
                                       ((3, 16, 16, 8), 16),
                                       ((2, 4, 4, 16), 8)])
-def test_conv_s2_forward_matches_lax(shape, co):
+def test_conv_s2_forward_matches_lax(shape, co, staging):
     cin = shape[-1]
     x = jax.random.normal(KEY, shape)
     w = jax.random.normal(jax.random.fold_in(KEY, 1), (5, 5, cin, co)) * 0.1

@@ -71,6 +71,7 @@ def test_dp_wgan_gp_compiles_and_runs():
     assert np.isfinite(float(metrics["w_dist"]))
 
 
+@pytest.mark.slow
 def test_tensor_parallel_stem_sharding():
     """Generator stem weights sharded over the model axis still produce the
     replicated-math result."""
@@ -112,6 +113,7 @@ def test_tensor_parallel_stem_sharding():
                                    err_msg=f"metric {k} diverged under TP")
 
 
+@pytest.mark.slow   # the driver exercises this entry point separately
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -24,9 +24,11 @@ def _leaf_changed(a, b):
     ("stackgan_stage2", {"g_steps": 1}),
 ])
 def test_one_step_updates_and_finite(model, kw):
+    # default steps_per_epoch everywhere: tests sharing a config reuse ONE
+    # compiled step via make_train_step's lru_cache (suite wall time)
     cfg = tiny_config(model, **kw)
-    ts = init_train_state(prng.base_key(0), cfg, steps_per_epoch=10)
-    step = make_train_step(cfg, steps_per_epoch=10)
+    ts = init_train_state(prng.base_key(0), cfg)
+    step = make_train_step(cfg)
     batch = make_batch(cfg)
 
     g0 = jax.device_get(ts.g_params)
@@ -45,7 +47,7 @@ def test_one_step_updates_and_finite(model, kw):
 
 
 def test_wgan_metrics_include_gp_and_wdist():
-    cfg = tiny_config("wgancls", n_critic=2, g_steps=1)
+    cfg = tiny_config("wgancls", n_critic=2, g_steps=1, beta1=0.0)
     ts = init_train_state(prng.base_key(0), cfg)
     step = make_train_step(cfg)
     _, metrics = step(ts, make_batch(cfg))
@@ -111,6 +113,7 @@ def test_uint8_batch_matches_float_batch():
                                    err_msg=f"metric {k}")
 
 
+@pytest.mark.slow
 def test_stage2_remat_matches_no_remat():
     """jax.checkpoint on the Stage-II generator must not change the math."""
     cfg = tiny_config("stackgan_stage2", g_steps=1)

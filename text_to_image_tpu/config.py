@@ -100,8 +100,13 @@ class Config:
     sample_dir: str = "samples"
     log_dir: str = "logs"
     stage1_checkpoint: str = ""    # StackGAN Stage-II restores Stage-I G from here
-    use_pallas: bool = False       # opt-in fused Pallas kernels (XLA default
-    # measured faster for these model shapes — see BASELINE.md / ops/pallas)
+    inception_checkpoint: str = ""  # converted dataset-finetuned InceptionV3
+    # (.npz from scripts/convert_inception.py) for absolute-parity IS eval;
+    # empty → autodetect <data_dir>/inception.npz, else finetune the
+    # self-contained eval classifier (offline fallback)
+    use_pallas: str = "auto"       # fused Pallas kernels: "auto" dispatches
+    # per shape by measurement (BASELINE.md "Pallas vs XLA"), "on"/"off"
+    # (or YAML true/false) force the kernel / lax path everywhere
     async_checkpoint: bool = False  # background (Orbax async) snapshots —
     # the device keeps stepping during saves; restore/close always wait
     remat: bool = False            # rematerialize the Stage-II generator
@@ -110,6 +115,27 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def compute_key(self) -> "Config":
+        """This config with every field that does NOT affect compiled
+        programs normalized away (paths, host-pipeline knobs, logging
+        intervals, mesh layout — meshes enter via input shardings, not
+        tracing).  Used as the cache key by the jitted-program factories
+        (train.steps, eval.sampler) so e.g. two runs differing only in
+        checkpoint_dir share one compilation."""
+        return self.replace(
+            checkpoint_dir="", sample_dir="", log_dir="",
+            stage1_checkpoint="", inception_checkpoint="",
+            async_checkpoint=False,
+            mesh=MeshConfig(),
+            data=dataclasses.replace(
+                self.data, dataset_name="", data_dir="", embedding_type="",
+                caption_window=0, random_flip=False, random_crop=False,
+                workers=0, prefetch=0),
+            train=dataclasses.replace(
+                self.train, max_epoch=0, snapshot_interval=0,
+                sample_interval=0, summary_interval=0),
+        )
 
 
 # --- Reference-key → dataclass-path mapping -------------------------------
@@ -206,6 +232,8 @@ def _coerce(value: Any, typ: Any) -> Any:
         return int(value)
     if typ in ("float", float) and isinstance(value, int):
         return float(value)
+    if typ in ("str", str) and isinstance(value, bool):
+        return "on" if value else "off"   # use_pallas: true/false in YAML
     return value
 
 

@@ -55,14 +55,40 @@ class TextDataset:
             raise FileNotFoundError(
                 f"no {src}images.pickle for size {image_size} under {base} — "
                 f"run text_to_image_tpu.data.preprocess first")
-        self.images = np.asarray(_load_pickle(img_file), dtype=np.uint8)
-        self.embeddings = np.asarray(
-            _load_pickle(os.path.join(base, "char-CNN-RNN-embeddings.pickle")),
-            dtype=np.float32)
-        self.filenames = _load_pickle(os.path.join(base, "filenames.pickle"))
-        class_info = _load_pickle(os.path.join(base, "class_info.pickle"))
-        self.class_ids = np.asarray(class_info, dtype=np.int64)
+        self._init_from_arrays(
+            np.asarray(_load_pickle(img_file), dtype=np.uint8),
+            np.asarray(_load_pickle(
+                os.path.join(base, "char-CNN-RNN-embeddings.pickle")),
+                dtype=np.float32),
+            _load_pickle(os.path.join(base, "filenames.pickle")),
+            _load_pickle(os.path.join(base, "class_info.pickle")),
+            image_size, embed_dim, random_crop, random_flip, seed, raw_uint8)
 
+    @classmethod
+    def from_arrays(cls, images: np.ndarray, embeddings: np.ndarray,
+                    class_ids: np.ndarray, filenames=None,
+                    image_size: int = 64, random_crop: bool = True,
+                    random_flip: bool = True, seed: int = 0,
+                    raw_uint8: bool = True) -> "TextDataset":
+        """In-memory construction (benchmarks/tests): same serving path —
+        C++ crop/flip/gather kernels, caption windowing, wrong-pair draw —
+        without pickle files on disk."""
+        self = cls.__new__(cls)
+        self._init_from_arrays(
+            np.asarray(images, dtype=np.uint8),
+            np.asarray(embeddings, dtype=np.float32),
+            filenames if filenames is not None else list(range(len(images))),
+            class_ids, image_size, int(embeddings.shape[-1]),
+            random_crop, random_flip, seed, raw_uint8)
+        return self
+
+    def _init_from_arrays(self, images, embeddings, filenames, class_info,
+                          image_size, embed_dim, random_crop, random_flip,
+                          seed, raw_uint8):
+        self.images = images
+        self.embeddings = embeddings
+        self.filenames = filenames
+        self.class_ids = np.asarray(class_info, dtype=np.int64)
         if self.embeddings.shape[-1] != embed_dim:
             raise ValueError(
                 f"embedding dim {self.embeddings.shape[-1]} != cfg {embed_dim}")

@@ -298,6 +298,14 @@ def params_from_torch_state_dict(sd) -> Dict:
     return params
 
 
+def load_npz(path: str) -> Dict:
+    """Load a converted checkpoint (`scripts/convert_inception.py` output)
+    back into the param tree."""
+    import numpy as np
+    host = np.load(path, allow_pickle=True)["params"].item()
+    return jax.tree.map(jnp.asarray, host)
+
+
 def make_classifier(params: Dict):
     """jitted images→logits closure for `compute_inception_score`."""
     @jax.jit

@@ -11,6 +11,7 @@ sampling convention the reference follows.
 
 from __future__ import annotations
 
+import functools
 from typing import TYPE_CHECKING, Callable, Tuple
 
 import jax
@@ -26,7 +27,14 @@ if TYPE_CHECKING:  # annotation-only: avoids eval ↔ train circular import
 
 
 def make_generator_fn(cfg: Config, train_mode: bool = True) -> Callable:
-    """jitted ``gen(g_params, g_state, aux, z, emb, key) -> images[B,r,r,3]``."""
+    """jitted ``gen(g_params, g_state, aux, z, emb, key) -> images[B,r,r,3]``.
+    Cached per (cfg.compute_key(), mode) so trainers, eval paths and tests
+    share one compiled program."""
+    return _make_generator_fn(cfg.compute_key(), train_mode)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_generator_fn(cfg: Config, train_mode: bool) -> Callable:
     bundle = get_model(cfg)
     policy = L.Policy.from_str(cfg.dtype)
 

@@ -42,7 +42,7 @@ def _text_join(join_params, h: jax.Array, t: jax.Array,
     custom_vjp) does not support higher-order AD — the lax composition lets
     XLA build the grad-of-grad program (SURVEY.md §7 hard part #1)."""
     from text_to_image_tpu.ops.pallas import fused
-    if allow_pallas and fused.pallas_enabled():
+    if allow_pallas and fused.use_join():
         w = join_params["w"]                        # [1,1,Cx+E,Co]
         cx = h.shape[-1]
         return fused.conditioning_join(h, t, w[0, 0, :cx], w[0, 0, cx:],
@@ -56,7 +56,7 @@ def _up_deconv(p: Dict, x: jax.Array, act: str = "none") -> jax.Array:
     family: G is only ever differentiated first-order (the WGAN GP
     double-backprop touches the critic, not G)."""
     from text_to_image_tpu.ops.pallas import conv as pconv, fused
-    if fused.pallas_enabled():
+    if fused.use_deconv(x.shape, p["w"].shape[-1]):
         ones = jnp.ones((p["w"].shape[-1],), jnp.float32)
         return pconv.deconv5x5_s2(x, p["w"], ones, p["b"].astype(jnp.float32),
                                   act)
@@ -142,16 +142,29 @@ def generator_apply_inference(params: Dict, state: Dict, z: jax.Array,
     h, _ = L.batch_norm(params["stem_bn"], state["stem_bn"], h, train=False)
     h = jax.nn.relu(h)
 
-    from text_to_image_tpu.ops.pallas import conv as pconv
+    from text_to_image_tpu.ops.pallas import conv as pconv, fused
     eps = 1e-5
+
+    def folded_deconv(p, x, a, shift, act):
+        # BN folding is unconditional; the Pallas kernel runs only on shapes
+        # where it measured faster (same dispatch as training) — XLA fuses
+        # the scale/shift/act epilogue on the others.
+        if fused.use_deconv(x.shape, p["w"].shape[-1]):
+            return pconv.deconv5x5_s2(x, p["w"], a, shift, act)
+        y = L.conv2d_transpose({"w": p["w"], "b": jnp.zeros_like(shift)}, x,
+                               stride=2)
+        y = y.astype(jnp.float32) * a + shift
+        from text_to_image_tpu.ops.pallas.fused import _ACTS
+        return _ACTS[act](y).astype(x.dtype)
+
     for i in range(n_up - 1):
         p, bn, s = params[f"up{i}"], params[f"up{i}_bn"], state[f"up{i}_bn"]
         a = (bn["scale"] * jax.lax.rsqrt(s["var"] + eps)).astype(jnp.float32)
         shift = ((p["b"] - s["mean"]) * a + bn["bias"]).astype(jnp.float32)
-        h = pconv.deconv5x5_s2(h, p["w"], a, shift, "relu")
+        h = folded_deconv(p, h, a, shift, "relu")
     out = params["out"]
-    return pconv.deconv5x5_s2(h, out["w"], jnp.ones((3,), jnp.float32),
-                              out["b"].astype(jnp.float32), "tanh")
+    return folded_deconv(out, h, jnp.ones((3,), jnp.float32),
+                         out["b"].astype(jnp.float32), "tanh")
 
 
 # --- discriminator ---------------------------------------------------------------

@@ -7,5 +7,7 @@ from text_to_image_tpu.ops.pallas.fused import (  # noqa: F401
     conditioning_join,
     pallas_enabled,
     set_default,
+    use_deconv,
+    use_join,
     use_pallas,
 )

@@ -65,6 +65,28 @@ def _deconv_kernel(xp_ref, w_ref, s_ref, t_ref, o_ref, *, h, wd, act):
             o_ref[0, :, py, :, px, :] = y.reshape(h, wd, y.shape[-1])
 
 
+def _deconv_kernel_vpad(x_ref, w_ref, s_ref, t_ref, o_ref, *, h, wd, act):
+    """As `_deconv_kernel` but (a) padding happens IN VMEM on the loaded
+    block — the padded copy never exists in HBM — and (b) the block carries
+    a batch tile so each parity matmul has bt·H·W rows (fills the 128-row
+    MXU even at 4×4/8×8 feature maps)."""
+    bt = x_ref.shape[0]
+    xp = jnp.pad(x_ref[:], ((0, 0), (1, 2), (1, 2), (0, 0)))
+    for py in (0, 1):
+        for px in (0, 1):
+            acc = None
+            for sh, kh in _DECONV_TAPS[py]:
+                for sw, kw in _DECONV_TAPS[px]:
+                    a = xp[:, sh:sh + h, sw:sw + wd, :]
+                    a = a.reshape(bt * h * wd, a.shape[-1])
+                    part = jnp.dot(a, w_ref[kh, kw],
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+            y = acc * s_ref[:] + t_ref[:]
+            y = _ACTS[act](y).astype(o_ref.dtype)
+            o_ref[:, :, py, :, px, :] = y.reshape(bt, h, wd, y.shape[-1])
+
+
 def _deconv_pallas(xp, w, s2, t2, act: str, co_tile: int):
     b, hp, wp, cin = xp.shape
     h, wd = hp - 3, wp - 3
@@ -97,6 +119,53 @@ def _deconv_pallas(xp, w, s2, t2, act: str, co_tile: int):
     return out.reshape(b, 2 * h, 2 * wd, co)
 
 
+def _pick_batch_tile(b: int, h: int, wd: int, cin: int, co_tile: int,
+                     budget_bytes: int = 10 * 2**20) -> int:
+    """Largest divisor batch tile whose in+out blocks fit VMEM alongside the
+    weight block, targeting ≥128 matmul rows per parity."""
+    w_bytes = 25 * cin * co_tile * 2
+    for bt in (16, 8, 4, 2, 1):
+        if b % bt != 0:
+            continue
+        blk = bt * (h + 3) * (wd + 3) * cin * 2 + bt * h * wd * 4 * co_tile * 2
+        if w_bytes + 2 * blk <= budget_bytes:  # ×2: pipelined double buffers
+            return bt
+    return 1
+
+
+def _deconv_pallas_vpad(x, w, s2, t2, act: str, co_tile: int):
+    """Unpadded-input variant: the kernel pads in VMEM, so HBM traffic is
+    exactly one read of x + one write of y (+ weights)."""
+    b, h, wd, cin = x.shape
+    co = w.shape[-1]
+    bt = _pick_batch_tile(b, h, wd, cin, co_tile)
+    out = pl.pallas_call(
+        functools.partial(_deconv_kernel_vpad, h=h, wd=wd, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, h, 2, wd, 2, co), x.dtype),
+        grid=(co // co_tile, b // bt),
+        in_specs=[
+            pl.BlockSpec((bt, h, wd, cin), lambda c, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 5, cin, co_tile), lambda c, i: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, h, 2, wd, 2, co_tile),
+                               lambda c, i: (i, 0, 0, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 25 * b * h * wd * cin * co,
+            bytes_accessed=(x.size + w.size) * x.dtype.itemsize
+            + b * h * wd * 4 * co * x.dtype.itemsize,
+            transcendentals=0),
+    )(x, w, s2, t2)
+    return out.reshape(b, 2 * h, 2 * wd, co)
+
+
 def _lax_deconv(x, w, s, t, act):
     y = lax.conv_transpose(x, w.astype(x.dtype), (2, 2), "SAME",
                            dimension_numbers=_DIMS,
@@ -113,12 +182,20 @@ def _pick_co_tile(cin: int, co: int, budget_bytes: int = 8 * 2**20) -> int:
     return co  # small co (e.g. 3): take it whole
 
 
+# Where the (1,2)-padding of the input is staged: "vmem" pads inside the
+# kernel (no padded copy in HBM — measured faster, see BASELINE.md); "hbm"
+# is the round-1 jnp.pad-then-call layout, kept for A/B measurement.
+_DECONV_STAGING = "vmem"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _deconv_op(x, w, scale, shift, act: str):
-    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
     s2 = scale.reshape(1, -1).astype(jnp.float32)
     t2 = shift.reshape(1, -1).astype(jnp.float32)
     co_tile = _pick_co_tile(x.shape[-1], w.shape[-1])
+    if _DECONV_STAGING == "vmem":
+        return _deconv_pallas_vpad(x, w.astype(x.dtype), s2, t2, act, co_tile)
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
     return _deconv_pallas(xp, w.astype(x.dtype), s2, t2, act, co_tile)
 
 
@@ -206,6 +283,58 @@ def _conv_kernel(xp_ref, w_ref, b_ref, o_ref, *, h2, w2, act):
     o_ref[0] = y.reshape(h2, w2, y.shape[-1])
 
 
+def _conv_kernel_vpad(x_ref, w_ref, b_ref, o_ref, *, h2, w2, act):
+    """Pad + stride-2 tap extraction entirely in VMEM: tap (kh,kw) for output
+    pixel (m,n) reads padded (2m+kh, 2n+kw).  Mosaic supports only 2D
+    gathers, so instead of a 3D strided slice the padded block is reshaped to
+    the parity view [Hq,2,Wq,2,C] in VMEM (a register regroup, no HBM
+    traffic) and taps index fixed parities."""
+    xp = jnp.pad(x_ref[0], ((1, 3), (1, 3), (0, 0)))
+    cin = xp.shape[-1]
+    hq, wq = xp.shape[0] // 2, xp.shape[1] // 2
+    xp6 = xp.reshape(hq, 2, wq, 2, cin)
+    acc = None
+    for kh in range(5):
+        ph, ah = _CONV_TAPS[kh]
+        for kw in range(5):
+            pw, aw = _CONV_TAPS[kw]
+            a = xp6[ah:ah + h2, ph, aw:aw + w2, pw, :]
+            a = a.reshape(h2 * w2, cin)
+            part = jnp.dot(a, w_ref[kh, kw],
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    y = _ACTS[act](acc + b_ref[:]).astype(o_ref.dtype)
+    o_ref[0] = y.reshape(h2, w2, y.shape[-1])
+
+
+def _conv_pallas_vpad(x, w, b2, act: str, co_tile: int):
+    b, h, w_, cin = x.shape
+    h2, w2 = h // 2, w_ // 2
+    co = w.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_vpad, h2=h2, w2=w2, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w2, co), x.dtype),
+        grid=(co // co_tile, b),
+        in_specs=[
+            pl.BlockSpec((1, h, w_, cin), lambda c, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, 5, cin, co_tile), lambda c, i: (0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h2, w2, co_tile),
+                               lambda c, i: (i, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 25 * b * h2 * w2 * cin * co,
+            bytes_accessed=(x.size + w.size) * x.dtype.itemsize
+            + b * h2 * w2 * co * x.dtype.itemsize,
+            transcendentals=0),
+    )(x, w, b2)
+
+
 def _conv_pallas(xp6, w, b2, act: str, co_tile: int):
     b, hq, _, wq, _, cin = xp6.shape
     h2, w2 = hq - 2, wq - 2
@@ -243,13 +372,21 @@ def _lax_conv_s2(x, w, b, act):
     return _ACTS[act]((y + b.astype(x.dtype)).astype(jnp.float32)).astype(x.dtype)
 
 
+# Staging of the stride-2 tap access: "vmem" pads + strided-slices inside
+# the kernel; "hbm" is the round-1 padded parity-plane view materialized by
+# XLA before the call. Kept switchable for A/B measurement.
+_CONV_STAGING = "vmem"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _conv_op(x, w, b, act: str):
     bsz, h, w_, cin = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
-    xp6 = xp.reshape(bsz, (h + 4) // 2, 2, (w_ + 4) // 2, 2, cin)
     b2 = b.reshape(1, -1).astype(jnp.float32)
     co_tile = _pick_co_tile(cin, w.shape[-1])
+    if _CONV_STAGING == "vmem":
+        return _conv_pallas_vpad(x, w.astype(x.dtype), b2, act, co_tile)
+    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    xp6 = xp.reshape(bsz, (h + 4) // 2, 2, (w_ + 4) // 2, 2, cin)
     return _conv_pallas(xp6, w.astype(x.dtype), b2, act, co_tile)
 
 

@@ -34,30 +34,65 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Default OFF: measured on v5e (2026-08-16, BASELINE.md "Pallas vs XLA"),
-# XLA's conv fusion wins this workload's shapes end-to-end (train step 10.0
-# vs 10.5 ms; eval-mode generator 3.5 vs 5.1 ms at B=256) — the kernels are
-# correct, equivalence-tested, and opt-in via cfg.use_pallas / use_pallas().
-_ENABLED = contextvars.ContextVar("pallas_enabled", default=False)
+# Dispatch mode: "auto" (default) uses each kernel only on shapes where it
+# measured faster than XLA on v5e (see BASELINE.md "Pallas vs XLA" and
+# scripts/bench_pallas.py); "on" forces every kernel; "off" forces the lax
+# path.  cfg.use_pallas carries the same three values (bools map on/off).
+_MODE = contextvars.ContextVar("pallas_mode", default="auto")
+
+
+def _as_mode(value) -> str:
+    if isinstance(value, bool):
+        return "on" if value else "off"
+    if value not in ("auto", "on", "off"):
+        raise ValueError(f"pallas mode {value!r} not in auto/on/off")
+    return value
 
 
 def pallas_enabled() -> bool:
-    """True when fused kernels should be used (flag on + TPU backend)."""
-    return _ENABLED.get() and jax.default_backend() == "tpu"
+    """True when fused kernels are FORCED on (mode 'on' + TPU backend).
+    Shape-aware call sites should use the `use_*` dispatch predicates."""
+    return _MODE.get() == "on" and jax.default_backend() == "tpu"
 
 
-def set_default(on: bool) -> None:
+def set_default(mode) -> None:
     """Process-wide default (cfg.use_pallas → Trainer sets this)."""
-    _ENABLED.set(on)
+    _MODE.set(_as_mode(mode))
 
 
 @contextlib.contextmanager
-def use_pallas(on: bool):
-    tok = _ENABLED.set(on)
+def use_pallas(mode):
+    tok = _MODE.set(_as_mode(mode))
     try:
         yield
     finally:
-        _ENABLED.reset(tok)
+        _MODE.reset(tok)
+
+
+# ---- measured per-shape dispatch (auto mode) --------------------------------
+
+def _deconv_wins(x_shape, co: int) -> bool:
+    """Shapes where the Pallas subpixel deconv beat XLA on v5e (BASELINE.md):
+    the deep small-spatial generator layers; elsewhere XLA's conv emitter
+    wins.  Updated from scripts/bench_pallas.py measurements."""
+    b, h, w, cin = x_shape
+    return h * w <= 16 and cin >= 1024 and co % 128 == 0
+
+
+def use_deconv(x_shape, co: int) -> bool:
+    """Dispatch predicate for the generator up-block deconv kernel."""
+    if jax.default_backend() != "tpu":
+        return False
+    mode = _MODE.get()
+    if mode == "auto":
+        return _deconv_wins(x_shape, co)
+    return mode == "on"
+
+
+def use_join() -> bool:
+    """Dispatch predicate for the conditioning-join kernel (measured: tie in
+    the train step — auto keeps XLA; force with mode 'on')."""
+    return pallas_enabled()
 
 
 def _interpret() -> bool:

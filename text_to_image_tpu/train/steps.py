@@ -42,17 +42,15 @@ def _optimizers(cfg: Config, steps_per_epoch: int):
     return g_tx, d_tx
 
 
-def init_train_state(key, cfg: Config, steps_per_epoch: int = 1000,
-                     stage1: Tuple[Any, Any] | None = None) -> TrainState:
-    """Build params/state/optimizer pytrees.  For stackgan_stage2, `stage1`
-    is the (params, state) of a trained Stage-I generator (loaded from its
-    checkpoint); if None a freshly-initialized Stage-I is used so smoke tests
-    and dry-runs work without a prior training run."""
+@functools.lru_cache(maxsize=64)
+def _init_builder(cfg: Config, steps_per_epoch: int):
+    """Cached jitted state-builder per (cfg, schedule).  Config is a frozen
+    (hashable) dataclass, so repeated inits — trainer restarts, tests, eval
+    paths — reuse one compiled program instead of re-tracing thousands of
+    small init ops (very slow over a remote-TPU tunnel)."""
     bundle = get_model(cfg)
     g_tx, d_tx = _optimizers(cfg, steps_per_epoch)
 
-    # one jitted program: thousands of small init ops would otherwise
-    # dispatch individually (very slow over a remote-TPU tunnel)
     @jax.jit
     def build(key, stage1_in):
         kinit, ks1 = jax.random.split(key)
@@ -73,7 +71,16 @@ def init_train_state(key, cfg: Config, steps_per_epoch: int = 1000,
             step=new_step_counter(), aux=aux,
         )
 
-    return build(key, stage1)
+    return build
+
+
+def init_train_state(key, cfg: Config, steps_per_epoch: int = 1000,
+                     stage1: Tuple[Any, Any] | None = None) -> TrainState:
+    """Build params/state/optimizer pytrees.  For stackgan_stage2, `stage1`
+    is the (params, state) of a trained Stage-I generator (loaded from its
+    checkpoint); if None a freshly-initialized Stage-I is used so smoke tests
+    and dry-runs work without a prior training run."""
+    return _init_builder(cfg.compute_key(), steps_per_epoch)(key, stage1)
 
 
 def make_train_step(cfg: Config, steps_per_epoch: int = 1000):
@@ -82,7 +89,15 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1000):
     `batch` entries are stacked per-critic-update: real/wrong[K,B,H,W,3],
     emb[K,B,E] with K = cfg.train.n_critic (the WGAN trainer draws a fresh
     batch per critic step — SURVEY.md §3.2; K=1 for the CE families).
+
+    Cached on (cfg.compute_key(), steps_per_epoch): configs differing only
+    in paths/logging knobs share one compiled program.
     """
+    return _make_train_step(cfg.compute_key(), steps_per_epoch)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_train_step(cfg: Config, steps_per_epoch: int):
     bundle = get_model(cfg)
     policy = L.Policy.from_str(cfg.dtype)
     g_tx, d_tx = _optimizers(cfg, steps_per_epoch)
@@ -159,8 +174,11 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1000):
 
     # ---- the compiled schedule ------------------------------------------
 
+    from text_to_image_tpu.ops.pallas import fused
+
     @functools.partial(jax.jit, donate_argnums=0)
-    def step(ts: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def _step_body(ts: TrainState, batch
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         # key derived inside the program (a closed-over device array would be
         # embedded as an HLO constant via a host round-trip at lowering time)
         key = prng.step_key(prng.base_key(seed), ts.step)
@@ -198,5 +216,12 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1000):
             d_params=d_params, d_state=d_state, d_opt=d_opt,
             step=ts.step + 1)
         return new_ts, {**d_metrics, **g_metrics}
+
+    def step(ts: TrainState, batch):
+        # kernel dispatch (ops/pallas/fused) reads a contextvar at TRACE
+        # time; bind it to cfg.use_pallas so the lru_cached step is
+        # deterministic in cfg regardless of the ambient mode
+        with fused.use_pallas(cfg.use_pallas):
+            return _step_body(ts, batch)
 
     return step

@@ -30,9 +30,8 @@ class Trainer:
     def __init__(self, cfg: Config, dataset=None, env: Optional[MeshEnv] = None,
                  restore: bool = True):
         self.cfg = cfg
-        if cfg.use_pallas:
-            from text_to_image_tpu.ops.pallas import fused
-            fused.set_default(True)
+        from text_to_image_tpu.ops.pallas import fused
+        fused.set_default(cfg.use_pallas)
         self.env = env or create_mesh(model=cfg.mesh.model)
         self.dataset = dataset if dataset is not None else get_dataset(cfg)
         self.steps_per_epoch = max(

@@ -55,6 +55,12 @@ def main():
     cfg = load_config(args.cfg, parse_overrides(args.set) or None)
 
     if args.train:
+        if cfg.model == "pggan" and cfg.pggan.stage == 0:
+            # full progressive-growing schedule: one compiled program per
+            # stage, linked by checkpoint restores
+            from text_to_image_tpu.train.trainer import train_progressive
+            train_progressive(cfg, total_steps=args.steps)
+            return
         from text_to_image_tpu.train.trainer import Trainer
         trainer = Trainer(cfg)
         try:

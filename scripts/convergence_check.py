@@ -12,7 +12,7 @@ must produce (validated 2026-08-16 on 1x v5e, 3k steps):
 WGAN-CLS variant (n_critic=5, GP λ=10, WGAN-GP Adam): measured fixed-z
 correlation r = 0.988 after 1500 steps on the same task.
 
-Run: python scripts/convergence_check.py [steps] [gancls|wgancls]
+Run: python scripts/convergence_check.py [steps] [gancls|pggan|wgancls]
 (batches are staged on device once and cycled — keeps a tunneled TPU fed).
 """
 
@@ -40,11 +40,31 @@ def _config(model: str) -> Config:
         train = TrainConfig(batch_size=64, n_critic=5, g_steps=1,
                             generator_lr=1e-4, discriminator_lr=1e-4,
                             beta1=0.0, beta2=0.9)
+    elif model == "pggan":
+        # WGAN-GP recipe with more critic steps + lower lr than Karras'
+        # (1e-3, n_critic=1 measured unstable on the matching-aware
+        # objective: GP constrains the real↔fake direction but not the text
+        # direction, so the critic scale ran away — margin 400+, collapse);
+        # ε_drift anchors the score scale.  Fixed final stage (α=1) — the
+        # progression schedule itself is exercised by tests/test_pggan.py +
+        # the TPU smoke.
+        from text_to_image_tpu.config import CoeffConfig
+        train = TrainConfig(batch_size=64, n_critic=2, g_steps=1,
+                            generator_lr=2e-4, discriminator_lr=2e-4,
+                            beta1=0.0, beta2=0.9,
+                            coeff=CoeffConfig(drift_epsilon=1e-3))
     else:
         train = TrainConfig(batch_size=64, g_steps=2)
-    return Config(model=model, train=train,
-                  data=DataConfig(dataset_name="synthetic", image_size=64),
-                  dtype="bfloat16")
+    cfg = Config(model=model, train=train,
+                 data=DataConfig(dataset_name="synthetic", image_size=64),
+                 dtype="bfloat16")
+    if model == "pggan":
+        import dataclasses
+        from text_to_image_tpu.models import pggan as PG
+        cfg = cfg.replace(pggan=dataclasses.replace(
+            cfg.pggan, stage=PG.num_stages(64), fade_fraction=0.0,
+            start_step=0))
+    return cfg
 
 
 def main(steps: int = 3000, model: str = "gancls") -> int:
@@ -74,8 +94,8 @@ def main(steps: int = 3000, model: str = "gancls") -> int:
     b = ds.next_batch(64)
     real = jnp.asarray(b["real"].astype(np.float32) / 127.5 - 1.0)
     emb = jnp.asarray(b["emb"])
-    da = jax.jit(lambda x, e: bundle.disc_apply(ts.d_params, ts.d_state, x, e,
-                                                True, pol)[0])
+    da = jax.jit(lambda x, e: bundle.disc_apply(ts.d_params, ts.d_state,
+                                                ts.aux, x, e, True, pol)[0])
     margin = float(jnp.mean(da(real, emb)) -
                    jnp.mean(da(real, jnp.roll(emb, 13, axis=0))))
 

@@ -12,8 +12,9 @@ from text_to_image_tpu.config import (CoeffConfig, Config, DataConfig,
 
 
 def tiny_config(model: str = "gancls", image_size: int = 16, **train_kw) -> Config:
-    if model == "stackgan_stage2" and image_size < 64:
-        image_size = 64  # stage2 = 4× stage1; 64 → 16px stage1
+    if model == "stackgan_stage2" and image_size < 32:
+        image_size = 32  # stage2 = 4× stage1; 32 → 8px stage1 (smallest
+        # resolution the up/down stacks support; ~30% faster compiles)
     return Config(
         model=model,
         gan=GanConfig(gf_dim=8, df_dim=8, z_dim=8, embed_dim=32,

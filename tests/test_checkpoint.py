@@ -81,7 +81,8 @@ def test_latest_step_none_when_empty(tmp_path):
 
 def test_stage1_cross_restore(tmp_path):
     """Stage-II init loads the trained Stage-I generator from its checkpoint."""
-    cfg1 = tiny_config("stackgan_stage1", g_steps=1)
+    # stage1 must match stage2's draft resolution (stage2 size // 4)
+    cfg1 = tiny_config("stackgan_stage1", image_size=8, g_steps=1)
     ts1 = init_train_state(prng.base_key(0), cfg1)
     ts1, _ = make_train_step(cfg1)(ts1, make_batch(cfg1))
     mgr = C.CheckpointManager(str(tmp_path / "s1"))

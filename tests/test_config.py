@@ -55,8 +55,8 @@ def test_shipped_configs_load():
     assert len(paths) >= 5
     for p in paths:
         cfg = load_config(p)
-        assert cfg.model in ("gancls", "wgancls", "stackgan_stage1",
-                             "stackgan_stage2")
+        from text_to_image_tpu.models.registry import MODEL_NAMES
+        assert cfg.model in MODEL_NAMES
 
 
 def test_overrides():

@@ -18,6 +18,7 @@ def test_forward_shape():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow   # the convert chain is covered end-to-end in test_is_parity
 def test_param_tree_matches_torchvision_names():
     """Every torchvision key we expect maps to a unit in our tree: build a
     fake state dict from our random params and round-trip it."""

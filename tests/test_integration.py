@@ -3,6 +3,7 @@ signals (SURVEY.md §4 'overfit test' tier) — D separates real from fake, and
 the matching-aware margin appears."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,6 +15,7 @@ from text_to_image_tpu.utils import prng
 from tests.helpers import tiny_config
 
 
+@pytest.mark.slow
 def test_short_training_separates_real_from_fake():
     cfg = tiny_config("gancls", g_steps=1)
     ds = SyntheticDataset(num_examples=32, image_size=cfg.data.image_size,
@@ -34,10 +36,10 @@ def test_short_training_separates_real_from_fake():
     z = jax.random.normal(jax.random.PRNGKey(3), (16, cfg.gan.z_dim))
     fake, _, _ = bundle.gen_apply(ts.g_params, ts.g_state, ts.aux, z, emb,
                                   jax.random.PRNGKey(4), True, L.FP32)
-    d_real, _ = bundle.disc_apply(ts.d_params, ts.d_state, real, emb, True,
-                                  L.FP32)
-    d_fake, _ = bundle.disc_apply(ts.d_params, ts.d_state, fake, emb, True,
-                                  L.FP32)
+    d_real, _ = bundle.disc_apply(ts.d_params, ts.d_state, ts.aux, real,
+                                  emb, True, L.FP32)
+    d_fake, _ = bundle.disc_apply(ts.d_params, ts.d_state, ts.aux, fake,
+                                  emb, True, L.FP32)
     # after 120 steps on 4 fixed batches D must score real above fake
     assert float(jnp.mean(d_real)) > float(jnp.mean(d_fake)) + 0.3, (
         float(jnp.mean(d_real)), float(jnp.mean(d_fake)))

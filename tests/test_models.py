@@ -37,7 +37,7 @@ def test_bundle_shapes(model):
     if bundle.has_ca:
         assert gen_aux["mu"].shape == (b, cfg.gan.ca_dim)
 
-    logit, new_ds = bundle.disc_apply(dp, ds, img, emb, True, L.FP32)
+    logit, new_ds = bundle.disc_apply(dp, ds, {}, img, emb, True, L.FP32)
     assert logit.shape == (b,)
 
 

@@ -119,6 +119,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow   # the driver compile-checks entry() separately
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -54,6 +54,7 @@ def test_trainer_end_to_end(run_cfg):
         t2.close()
 
 
+@pytest.mark.slow
 def test_trainer_wgancls_end_to_end(tmp_path):
     """The n_critic>1 pipeline contract (stacked per-critic batches) through
     the real Trainer + GP double-backprop."""

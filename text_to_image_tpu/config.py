@@ -80,6 +80,20 @@ class DataConfig:
 
 
 @dataclass(frozen=True)
+class PgganConfig:
+    """Conditional-PGGAN progression schedule (models/pggan.py).  Stage s
+    trains at 4·2^(s-1) px; the whole progression is a sequence of
+    fixed-shape compiled programs linked by ordinary checkpoint restores."""
+
+    stage: int = 0              # 0 = run the full progression up to
+    # data.image_size; s >= 1 = train exactly stage s
+    steps_per_stage: int = 4000
+    fade_fraction: float = 0.5  # fraction of a stage spent fading α 0→1
+    start_step: int = -1        # global step at which this stage begins
+    # (-1 = derive as (stage-1)·steps_per_stage; α ramps from there)
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout. data=-1 means 'all remaining devices'."""
 
@@ -89,10 +103,12 @@ class MeshConfig:
 
 @dataclass(frozen=True)
 class Config:
-    model: str = "gancls"          # gancls | wgancls | stackgan_stage1 | stackgan_stage2
+    model: str = "gancls"          # gancls | wgancls | stackgan_stage1 |
+    # stackgan_stage2 | pggan
     gan: GanConfig = field(default_factory=GanConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     data: DataConfig = field(default_factory=DataConfig)
+    pggan: PgganConfig = field(default_factory=PgganConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 0
     dtype: str = "bfloat16"        # compute dtype (params stay float32)

@@ -80,6 +80,13 @@ def init_train_state(key, cfg: Config, steps_per_epoch: int = 1000,
     is the (params, state) of a trained Stage-I generator (loaded from its
     checkpoint); if None a freshly-initialized Stage-I is used so smoke tests
     and dry-runs work without a prior training run."""
+    if stage1 is not None:
+        # normalize to host arrays: committed device arrays (e.g. from a
+        # checkpoint restore) would make build's outputs committed, which is
+        # part of the jit executable cache key — an identical-cfg train step
+        # would silently recompile (~1 min for Stage-II)
+        import numpy as np
+        stage1 = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), stage1)
     return _init_builder(cfg.compute_key(), steps_per_epoch)(key, stage1)
 
 
@@ -110,9 +117,13 @@ def _make_train_step(cfg: Config, steps_per_epoch: int):
 
     def _images(x):
         """Accept uint8 (host ships quarter-size tensors; normalization to
-        the generator's tanh range happens on device) or float in [-1,1]."""
+        the generator's tanh range happens on device) or float in [-1,1];
+        then the bundle's device-side prep (PGGAN: downsample to the stage
+        resolution)."""
         if x.dtype == jnp.uint8:
-            return x.astype(jnp.float32) / 127.5 - 1.0
+            x = x.astype(jnp.float32) / 127.5 - 1.0
+        if bundle.prep_images is not None:
+            x = bundle.prep_images(x)
         return x
 
     def d_loss_fn(d_params, d_state, g_params, g_state, aux, batch, key):
@@ -125,11 +136,11 @@ def _make_train_step(cfg: Config, steps_per_epoch: int):
         fake = jax.lax.stop_gradient(fake)
         xs = jnp.stack([real, fake, wrong])
         embs = jnp.stack([emb, emb, emb])
-        logits, new_d_state = bundle.disc_streams(d_params, d_state, xs, embs,
-                                                  True, policy)
+        logits, new_d_state = bundle.disc_streams(d_params, d_state, aux, xs,
+                                                  embs, True, policy)
         if bundle.is_wgan:
             def critic_on_images(x):
-                return bundle.disc_apply(d_params, d_state, x, emb, True,
+                return bundle.disc_apply(d_params, d_state, aux, x, emb, True,
                                          policy)[0]
             eps = prng.uniform_eps(keps, real.shape[0])
             gp = LL.gradient_penalty(critic_on_images, real, fake, eps)
@@ -146,16 +157,17 @@ def _make_train_step(cfg: Config, steps_per_epoch: int):
         z = jax.random.normal(kz, (emb.shape[0], zdim), jnp.float32)
         fake, new_g_state, gen_aux = bundle.gen_apply(g_params, g_state, aux,
                                                       z, emb, kg, True, policy)
-        fake_logit, _ = bundle.disc_apply(d_params, d_state, fake, emb, True,
-                                          policy)
+        fake_logit, _ = bundle.disc_apply(d_params, d_state, aux, fake, emb,
+                                          True, policy)
         interp_logit = None
         if tcfg.use_interpolation:
             emb_int = LL.interpolate_embeddings(emb, co.interp_beta)
             z2 = jax.random.normal(kz2, (emb.shape[0], zdim), jnp.float32)
             fake_int, _, _ = bundle.gen_apply(g_params, g_state, aux, z2,
                                               emb_int, kg2, True, policy)
-            interp_logit, _ = bundle.disc_apply(d_params, d_state, fake_int,
-                                                emb_int, True, policy)
+            interp_logit, _ = bundle.disc_apply(d_params, d_state, aux,
+                                                fake_int, emb_int, True,
+                                                policy)
         if bundle.is_wgan:
             lg = LL.wgan_cls_g_loss(fake_logit)
             if interp_logit is not None:
@@ -185,12 +197,17 @@ def _make_train_step(cfg: Config, steps_per_epoch: int):
         d_keys = jax.random.split(jax.random.fold_in(key, 0), tcfg.n_critic)
         g_key = jax.random.fold_in(key, 1)
 
+        # per-step schedule values derived on-device (PGGAN fade-in α)
+        aux = ts.aux
+        if bundle.step_aux is not None:
+            aux = {**aux, **bundle.step_aux(ts.step)}
+
         # n_critic discriminator/critic updates, each on its own data slice
         def critic_body(carry, inp):
             d_params, d_state, d_opt = carry
             slice_b, k = inp
             grads, (new_d_state, ld) = d_grad(
-                d_params, d_state, ts.g_params, ts.g_state, ts.aux, slice_b, k)
+                d_params, d_state, ts.g_params, ts.g_state, aux, slice_b, k)
             updates, d_opt = d_tx.update(grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
             return (d_params, new_d_state, d_opt), ld
@@ -207,7 +224,7 @@ def _make_train_step(cfg: Config, steps_per_epoch: int):
         g_metrics: Dict[str, jax.Array] = {}
         for _ in range(tcfg.g_steps):
             grads, (g_state, g_metrics) = g_grad(
-                g_params, g_state, d_params, d_state, ts.aux, g_batch, g_key)
+                g_params, g_state, d_params, d_state, aux, g_batch, g_key)
             updates, g_opt = g_tx.update(grads, g_opt, g_params)
             g_params = optax.apply_updates(g_params, updates)
 

@@ -142,3 +142,32 @@ class Trainer:
         self.pipeline.close()
         self.metrics.close()
         self.ckpt.close()
+
+
+def train_progressive(cfg: Config, total_steps: Optional[int] = None) -> None:
+    """C-PGGAN full progression: one Trainer per stage, linked by ordinary
+    checkpoint restores (the parameter tree is full-depth from init, so every
+    stage's program consumes the same pytree — models/pggan.py).
+
+    Stage s runs from global step (s-1)·steps_per_stage to s·steps_per_stage,
+    with fade-in α ramping over the first ``fade_fraction`` of the stage
+    (derived on-device from the step counter)."""
+    import dataclasses
+
+    from text_to_image_tpu.models import pggan as PG
+
+    n = PG.num_stages(cfg.data.image_size)
+    per_stage = (max(1, total_steps // n) if total_steps is not None
+                 else cfg.pggan.steps_per_stage)
+    for stage in range(1, n + 1):
+        sub = cfg.replace(pggan=dataclasses.replace(
+            cfg.pggan, stage=stage, steps_per_stage=per_stage,
+            start_step=(stage - 1) * per_stage))
+        print(f"[pggan] stage {stage}/{n} "
+              f"({PG.stage_resolution(stage)}px, steps "
+              f"{(stage - 1) * per_stage}→{stage * per_stage})")
+        trainer = Trainer(sub)
+        try:
+            trainer.train(num_steps=stage * per_stage)
+        finally:
+            trainer.close()

@@ -121,7 +121,7 @@ def main():
         "wrong": rng.integers(0, 256, (k, batch, 64, 64, 3), dtype=np.uint8),
         "emb": rng.normal(size=(k, batch, cfg.gan.embed_dim)).astype(np.float32),
     }
-    data_sharding = NamedSharding(env.mesh, P(None, "data"))
+    data_sharding = env.stacked_batch()
     batch_dev = jax.device_put(host, data_sharding)
 
     for _ in range(WARMUP_STEPS):

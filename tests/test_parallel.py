@@ -17,10 +17,49 @@ from tests.helpers import make_batch, tiny_config
 def test_mesh_shapes():
     env = create_mesh(data=4, model=2)
     assert env.data_size == 4 and env.model_size == 2
+    assert env.slice_size == 1
     env2 = create_mesh(model=2)  # data=-1 → all remaining
     assert env2.data_size * 2 == len(jax.devices())
     with pytest.raises(ValueError):
         create_mesh(data=3, model=3)
+
+    env3 = create_mesh(slices=2, model=1)  # (slice=2, data=4, model=1)
+    assert env3.slice_size == 2 and env3.data_size == 4
+    assert env3.mesh.axis_names == ("slice", "data", "model")
+    with pytest.raises(ValueError):
+        create_mesh(slices=3)  # 8 % 3 != 0
+
+
+def test_multislice_dp_matches_single_device():
+    """Hierarchical DP over a (slice, data) mesh — the DCN-aware layout —
+    must match single-device training on the global batch (same equivalence
+    contract as plain DP; tolerances per test_dp_matches_single_device)."""
+    cfg = tiny_config("gancls")
+    lr = cfg.train.generator_lr
+
+    def run(env):
+        ts = init_train_state(prng.base_key(0), cfg)
+        step = make_train_step(cfg)
+        metrics = []
+        for i in range(2):
+            batch = make_batch(cfg, seed=i)
+            if env is not None:
+                ts = replicated(env, ts) if i == 0 else ts
+                batch = jax.device_put(batch, env.stacked_batch())
+            ts, m = step(ts, batch)
+            metrics.append({k: float(v) for k, v in m.items()})
+        return ts, metrics
+
+    ts1, m1 = run(None)
+    ts2, m2 = run(create_mesh(slices=2, data=2, model=2))
+
+    for s, (a, b) in enumerate(zip(m1, m2)):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=5e-3, atol=1e-4,
+                                       err_msg=f"step {s} metric {k} diverged")
+    for x, y in zip(jax.tree.leaves(jax.device_get(ts1.g_params)),
+                    jax.tree.leaves(jax.device_get(ts2.g_params))):
+        np.testing.assert_allclose(x, y, atol=10 * lr)
 
 
 def test_dp_matches_single_device():

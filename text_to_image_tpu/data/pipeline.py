@@ -45,10 +45,9 @@ class InputPipeline:
                 # 84 ms per batch on tunneled dev TPUs) — plain put instead
                 self._sharding = env.mesh.devices.reshape(-1)[0]
             else:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 # batch axis (axis 1, after the per-critic stack axis)
-                # sharded over the mesh 'data' axis
-                self._sharding = NamedSharding(env.mesh, P(None, "data"))
+                # sharded over the mesh data(+slice) axes
+                self._sharding = env.stacked_batch()
         self._q: queue.Queue = queue.Queue(maxsize=max(prefetch, workers))
         self._stop = threading.Event()
         # >1 workers: each gets an independent-RNG view of the dataset

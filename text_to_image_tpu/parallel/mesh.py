@@ -3,9 +3,13 @@
 The reference is single-process single-device (SURVEY.md §2 parallelism
 inventory: no DP/TP/PP).  Here distribution is first-class and TPU-idiomatic:
 
-* a 2-D ``(data, model)`` `jax.sharding.Mesh` over all local devices,
-* the global batch is sharded over ``data`` — gradient all-reduce lowers to an
-  XLA AllReduce over ICI inside a slice,
+* a ``(data, model)`` `jax.sharding.Mesh` over all local devices — or
+  ``(slice, data, model)`` when ``slices > 1`` (multi-slice pods),
+* the global batch is sharded over ``data`` (and ``slice``) — gradient
+  all-reduce lowers to an XLA AllReduce over ICI inside a slice; with a
+  ``slice`` axis the cross-slice component of the reduction rides DCN
+  (slower links carry only the already-reduced per-slice partials —
+  the standard hierarchical-DP layout),
 * the widest matmuls (generator stem FC, text compressors) may shard their
   output features over ``model`` (tensor parallelism); these models are small
   so ``model=1`` is the production default, but the axis is real and exercised
@@ -33,6 +37,10 @@ class MeshEnv:
     mesh: Mesh
 
     @property
+    def slice_size(self) -> int:
+        return self.mesh.shape.get("slice", 1)
+
+    @property
     def data_size(self) -> int:
         return self.mesh.shape["data"]
 
@@ -40,9 +48,18 @@ class MeshEnv:
     def model_size(self) -> int:
         return self.mesh.shape["model"]
 
+    @property
+    def _batch_axes(self):
+        return (("slice", "data") if "slice" in self.mesh.axis_names
+                else "data")
+
     def batch(self) -> NamedSharding:
-        """Leading-axis (batch) sharding over the data axis."""
-        return NamedSharding(self.mesh, P("data"))
+        """Leading-axis (batch) sharding over the data(+slice) axes."""
+        return NamedSharding(self.mesh, P(self._batch_axes))
+
+    def stacked_batch(self) -> NamedSharding:
+        """Per-critic-stacked batch [K, B, ...]: axis 1 is the batch axis."""
+        return NamedSharding(self.mesh, P(None, self._batch_axes))
 
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
@@ -55,17 +72,36 @@ class MeshEnv:
 def create_mesh(
     data: int = -1,
     model: int = 1,
+    slices: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> MeshEnv:
-    """Build a (data, model) mesh. data=-1 → all remaining devices."""
+    """Build a (data, model) mesh — or (slice, data, model) when
+    ``slices > 1``.  data=-1 → all remaining devices.
+
+    On real multi-slice pods, devices are grouped by their ``slice_index``
+    so the mesh's ``slice`` axis aligns with the DCN boundary (cross-slice
+    traffic on DCN, in-slice on ICI); elsewhere (single slice, virtual CPU
+    meshes) the device list is split evenly in order."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if n % slices != 0:
+        raise ValueError(f"{n} devices not divisible by slices={slices}")
+    per_slice = n // slices
     if data == -1:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+        if per_slice % model != 0:
+            raise ValueError(
+                f"{per_slice} devices/slice not divisible by model={model}")
+        data = per_slice // model
+    if slices * data * model != n:
+        raise ValueError(f"mesh {slices}x{data}x{model} != {n} devices")
+
+    if slices > 1:
+        idx = {d: getattr(d, "slice_index", None) for d in devices}
+        if all(v is not None for v in idx.values()) and \
+                len({v for v in idx.values()}) == slices:
+            devices = sorted(devices, key=lambda d: (idx[d], d.id))
+        arr = np.asarray(devices).reshape(slices, data, model)
+        return MeshEnv(mesh=Mesh(arr, ("slice", "data", "model")))
     arr = np.asarray(devices).reshape(data, model)
     return MeshEnv(mesh=Mesh(arr, ("data", "model")))
 

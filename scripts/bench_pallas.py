@@ -145,6 +145,37 @@ def bench_conv(shapes, dtype=jnp.bfloat16):
     return rows
 
 
+def bench_upconv(shapes, dtype=jnp.bfloat16):
+    from text_to_image_tpu.ops.pallas import conv as pconv
+
+    rows = []
+    for (b, h, w, cin, co) in shapes:
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (b, h, w, cin), dtype)
+        wt = jax.random.normal(key, (3, 3, cin, co), jnp.float32)
+        s = jnp.ones((co,), jnp.float32)
+        t = jnp.zeros((co,), jnp.float32)
+
+        def xla(x, wt, s, t):
+            return pconv._lax_upconv(x, wt, s, t, "relu")
+
+        def pallas(x, wt, s, t):
+            return pconv._upconv_op(x, wt, s, t, "relu")
+
+        t_xla = timeit(jax.jit(xla), x, wt, s, t)
+        t_pal = float("nan")
+        try:
+            t_pal = timeit(jax.jit(pallas), x, wt, s, t)
+        except Exception as e:
+            print(f"  upconv pallas failed for {(b,h,w,cin,co)}: {e}",
+                  file=sys.stderr)
+        rows.append((f"upconv B{b} {h}x{w}x{cin}->{co}", t_xla, t_pal,
+                     float("nan"),
+                     "PALLAS" if t_pal < t_xla * 0.98 else
+                     ("tie" if t_pal < t_xla * 1.02 else "XLA")))
+    return rows
+
+
 def bench_eval_generator(batch=256):
     from text_to_image_tpu.config import GanConfig
     from text_to_image_tpu.models import gancls
@@ -239,4 +270,11 @@ if __name__ == "__main__":
             (3 * b, 32, 32, 64, 128),
             (3 * b, 16, 16, 128, 256),
             (3 * b, 8, 8, 256, 512),
+        ]))
+        show(bench_upconv([       # StackGAN/PGGAN generator up-blocks
+            (b, 4, 4, 1024, 512),
+            (b, 8, 8, 512, 256),
+            (b, 16, 16, 256, 128),
+            (b, 32, 32, 128, 128),
+            (b, 64, 64, 512, 256),   # Stage-II 256px up-path
         ]))

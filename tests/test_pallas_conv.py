@@ -141,3 +141,75 @@ def test_conv_s2_under_vmap():
         np.testing.assert_allclose(np.asarray(got[i]),
                                    np.asarray(_lax_conv(xs[i], w, b, "lrelu")),
                                    rtol=2e-5, atol=2e-5)
+
+
+def _lax_upconv_ref(x, w, s, t, act):
+    b, h, wd, c = x.shape
+    up = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, wd, 2, c))
+    up = up.reshape(b, 2 * h, 2 * wd, c)
+    y = lax.conv_general_dilated(up, w, (1, 1), "SAME",
+                                 dimension_numbers=DIMS)
+    y = y.astype(jnp.float32) * s + t
+    return K._ACTS[act](y).astype(x.dtype)
+
+
+@pytest.mark.parametrize("shape,co", [((2, 4, 4, 16), 8),
+                                      ((3, 8, 8, 8), 16),
+                                      ((2, 5, 7, 4), 8)])   # odd spatial
+@pytest.mark.parametrize("act", ["none", "relu", "tanh"])
+def test_upconv_forward_matches_lax(shape, co, act):
+    cin = shape[-1]
+    x = jax.random.normal(KEY, shape)
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, cin, co)) * 0.1
+    s = jax.random.normal(jax.random.fold_in(KEY, 2), (co,)) * 0.3 + 1.0
+    t = jax.random.normal(jax.random.fold_in(KEY, 3), (co,)) * 0.2
+
+    got = K.upconv3x3(x, w, s, t, act)
+    ref = _lax_upconv_ref(x, w, s, t, act)
+    assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_upconv_gradients_match_lax():
+    x = jax.random.normal(KEY, (2, 4, 4, 8))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, 8, 8)) * 0.1
+    s = jnp.ones((8,))
+    t = jnp.zeros((8,))
+    ct = jax.random.normal(jax.random.fold_in(KEY, 2), (2, 8, 8, 8))
+
+    def loss_k(x, w, s, t):
+        return jnp.sum(K.upconv3x3(x, w, s, t, "relu") * ct)
+
+    def loss_l(x, w, s, t):
+        return jnp.sum(_lax_upconv_ref(x, w, s, t, "relu") * ct)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, w, s, t)
+    gl = jax.grad(loss_l, argnums=(0, 1, 2, 3))(x, w, s, t)
+    for name, a, b in zip("xwst", gk, gl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"grad {name}")
+
+
+def test_upconv_bias_matches_and_grads():
+    x = jax.random.normal(KEY, (2, 4, 4, 8))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, 8, 8)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(KEY, 2), (8,)) * 0.1
+    ct = jax.random.normal(jax.random.fold_in(KEY, 3), (2, 8, 8, 8))
+    ones = jnp.ones((8,))
+
+    for act in ("none", "lrelu", "tanh"):
+        got = K.upconv3x3_bias(x, w, b, act)
+        ref = _lax_upconv_ref(x, w, ones, b, act)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=act)
+
+        gk = jax.grad(lambda *a: jnp.sum(K.upconv3x3_bias(*a, act) * ct),
+                      argnums=(0, 1, 2))(x, w, b)
+        gl = jax.grad(lambda x_, w_, b_: jnp.sum(
+            _lax_upconv_ref(x_, w_, ones, b_, act) * ct),
+            argnums=(0, 1, 2))(x, w, b)
+        for name, a_, b_ in zip("xwb", gk, gl):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{act} grad {name}")

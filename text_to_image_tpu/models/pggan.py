@@ -164,11 +164,21 @@ def generator_apply(params: Dict, z, emb, key, stage: int, alpha,
     h = pixel_norm(L.lrelu(h))
     h = pixel_norm(L.lrelu(_eq_conv(params["stem_conv"], h)))
 
+    from text_to_image_tpu.ops.pallas import conv as pconv, fused
+
     prev_rgb = None
     for s in range(2, stage + 1):
         prev_rgb = _eq_conv(params[f"rgb{s - 1}"], h, gain=1.0)
-        h = L.upsample_nearest(h)
-        h = pixel_norm(L.lrelu(_eq_conv(params[f"up{s}a"], h)))
+        pa = params[f"up{s}a"]
+        if fused.use_upconv(h.shape, pa["w"].shape[-1]):
+            # fused up+conv3x3 (equalized-LR scale folded into the weights)
+            k, _, cin, co = pa["w"].shape
+            eq = math.sqrt(2.0) / math.sqrt(k * k * cin)
+            h = pconv.upconv3x3_bias(h, pa["w"] * eq, pa["b"], "lrelu")
+            h = pixel_norm(h)
+        else:
+            h = L.upsample_nearest(h)
+            h = pixel_norm(L.lrelu(_eq_conv(pa, h)))
         h = pixel_norm(L.lrelu(_eq_conv(params[f"up{s}b"], h)))
 
     img = _eq_conv(params[f"rgb{stage}"], h, gain=1.0)

@@ -61,6 +61,12 @@ def _up_block_init(key, c_in: int, c_out: int) -> Tuple[Dict, Dict]:
 
 def _up_block(p: Dict, s: Dict, x: jax.Array, train: bool
               ) -> Tuple[jax.Array, Dict]:
+    # Deliberately NOT the fused Pallas upconv3x3 kernel here: with the
+    # BatchNorm that follows, XLA's joint fwd+bwd conv fusion wins the full
+    # training graph (measured: stage-1 G fwd+bwd 3.11 ms XLA vs 3.44 ms
+    # kernel, despite the kernel winning the conv in isolation — see
+    # BASELINE.md).  The kernel dispatches where it wins end-to-end: the
+    # BN-free PGGAN up-blocks (models/pggan.py).
     x = L.upsample_nearest(x, 2)
     x = L.conv2d(p["conv"], x, stride=1)
     x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train)

@@ -261,6 +261,218 @@ def _deconv_bwd(act, res, g):
 _deconv_op.defvjp(_deconv_fwd, _deconv_bwd)
 
 
+# ===================== nearest-upsample2x + conv3x3 ==========================
+#
+# The StackGAN/PGGAN generator up-block is conv3x3(upsample2_nearest(x)).
+# Nearest upsampling duplicates inputs, so the 3x3 taps over up(x) collapse
+# per output parity to TWO taps over x with COMBINED weights:
+#   y[2m+p] = Σ_di W[di+1]·up[2m+p+di], and up row (2m+p+di)//2 is
+#     p=0: {x[m-1]: W0, x[m]: W1+W2},  p=1: {x[m]: W0+W1, x[m+1]: W2}
+# (same per column).  That is 4 parities × 4 taps = 16 matmuls of x-sized
+# operands — 16/36 of the FLOPs of the naive conv on the upsampled tensor,
+# and the 4×-larger up(x) never exists in HBM.  Verified against the lax
+# composition in tests/test_pallas_conv.py.
+
+# parity → padded-x slice start for combined tap a ∈ {0, 1} (pad = 1)
+_UPCONV_TAPS = {0: (0, 1), 1: (1, 2)}
+
+
+def _combine_upconv_weights(w):
+    """[3,3,ci,co] → [2,2,2,2,ci,co] indexed [py, px, a, b] (see above)."""
+    rows = ((w[0], w[1] + w[2]), (w[0] + w[1], w[2]))     # [py][a]: [3,ci,co]
+    blocks = []
+    for py in (0, 1):
+        row_px = []
+        for px in (0, 1):
+            taps = []
+            for a in (0, 1):
+                rw = rows[py][a]                          # [3(kw), ci, co]
+                cols = ((rw[0], rw[1] + rw[2]),
+                        (rw[0] + rw[1], rw[2]))[px]       # [b]: [ci, co]
+                taps.append(jnp.stack(cols))              # [2(b), ci, co]
+            row_px.append(jnp.stack(taps))                # [2(a), 2(b), ci, co]
+        blocks.append(jnp.stack(row_px))                  # [2(px), ...]
+    return jnp.stack(blocks)                              # [2(py), ...]
+
+
+def _upconv_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, *, h, wd, act):
+    bt = x_ref.shape[0]
+    xp = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    for py in (0, 1):
+        for px in (0, 1):
+            acc = None
+            for a in (0, 1):
+                sh = _UPCONV_TAPS[py][a]
+                for b in (0, 1):
+                    sw = _UPCONV_TAPS[px][b]
+                    arr = xp[:, sh:sh + h, sw:sw + wd, :]
+                    arr = arr.reshape(bt * h * wd, arr.shape[-1])
+                    part = jnp.dot(arr, w_ref[py, px, a, b],
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+            y = acc * s_ref[:] + t_ref[:]
+            y = _ACTS[act](y).astype(o_ref.dtype)
+            o_ref[:, :, py, :, px, :] = y.reshape(bt, h, wd, y.shape[-1])
+
+
+def _lax_upconv(x, w, s, t, act):
+    b, h, wd, _ = x.shape
+    up = jnp.broadcast_to(x[:, :, None, :, None, :],
+                          (b, h, 2, wd, 2, x.shape[-1]))
+    up = up.reshape(b, 2 * h, 2 * wd, x.shape[-1])
+    y = lax.conv_general_dilated(up, w.astype(x.dtype), (1, 1), "SAME",
+                                 dimension_numbers=_DIMS,
+                                 preferred_element_type=x.dtype)
+    y = y.astype(jnp.float32) * s + t
+    return _ACTS[act](y).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _upconv_op(x, w, scale, shift, act: str):
+    b, h, wd, cin = x.shape
+    co = w.shape[-1]
+    wc = _combine_upconv_weights(w.astype(x.dtype))
+    s2 = scale.reshape(1, -1).astype(jnp.float32)
+    t2 = shift.reshape(1, -1).astype(jnp.float32)
+    co_tile = _pick_co_tile(cin, co, budget_bytes=12 * 2**20)
+    bt = _pick_batch_tile(b, h, wd, cin, co_tile)
+    out = pl.pallas_call(
+        functools.partial(_upconv_kernel, h=h, wd=wd, act=act),
+        out_shape=jax.ShapeDtypeStruct((b, h, 2, wd, 2, co), x.dtype),
+        grid=(co // co_tile, b // bt),
+        in_specs=[
+            pl.BlockSpec((bt, h, wd, cin), lambda c, i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, 2, 2, cin, co_tile),
+                         lambda c, i: (0, 0, 0, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_tile), lambda c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, h, 2, wd, 2, co_tile),
+                               lambda c, i: (i, 0, 0, 0, 0, c),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 16 * b * h * wd * cin * co,
+            bytes_accessed=(x.size + 16 * cin * co) * x.dtype.itemsize
+            + b * h * wd * 4 * co * x.dtype.itemsize,
+            transcendentals=0),
+    )(x, wc, s2, t2)
+    return out.reshape(b, 2 * h, 2 * wd, co)
+
+
+def _upconv_fwd(x, w, scale, shift, act):
+    y = _upconv_op(x, w, scale, shift, act)
+    return y, (x, w, scale, shift, y)
+
+
+def _raw_upconv(x, w):
+    b, h, wd, c = x.shape
+    up = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, wd, 2, c))
+    up = up.reshape(b, 2 * h, 2 * wd, c)
+    return lax.conv_general_dilated(up, w.astype(x.dtype), (1, 1), "SAME",
+                                    dimension_numbers=_DIMS,
+                                    preferred_element_type=x.dtype)
+
+
+def _upconv_bwd(act, res, g):
+    """No-recompute backward (same scheme as `_deconv_bwd`): up+conv is
+    linear in (x, w) → adjoints from `jax.linear_transpose`; the epilogue
+    derivative is recovered from the saved output for the invertible
+    activations; tanh falls back to a recompute VJP."""
+    x, w, scale, shift, y = res
+    s32 = scale.astype(jnp.float32)
+    t32 = shift.astype(jnp.float32)
+    if act == "tanh":
+        _, vjp = jax.vjp(lambda a, b, c, d: _lax_upconv(a, b, c, d, act),
+                         x, w, s32, t32)
+        dx, dw, ds, dt = vjp(g)
+        return (dx, dw.astype(w.dtype), ds.astype(scale.dtype),
+                dt.astype(shift.dtype))
+
+    g32 = g.astype(jnp.float32) * _act_grad_from_output(act, y)
+    y32 = y.astype(jnp.float32)
+    pre = y32 if act in ("none", "relu") else jnp.where(y32 >= 0, y32,
+                                                       y32 / 0.2)
+    d0 = jnp.where(g32 != 0, (pre - t32) / s32, 0.0)   # conv output
+    d_conv = (g32 * s32).astype(x.dtype)
+
+    t_x = jax.linear_transpose(lambda x_: _raw_upconv(x_, w), x)
+    t_w = jax.linear_transpose(lambda w_: _raw_upconv(x, w_), w)
+    dx, = t_x(d_conv)
+    dw, = t_w(d_conv)
+    ds = jnp.sum(g32 * d0, axis=(0, 1, 2)).astype(scale.dtype)
+    dt = jnp.sum(g32, axis=(0, 1, 2)).astype(shift.dtype)
+    return (dx, dw.astype(w.dtype), ds.reshape(scale.shape),
+            dt.reshape(shift.shape))
+
+
+_upconv_op.defvjp(_upconv_fwd, _upconv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _upconv_bias_op(x, w, b, act: str):
+    co = w.shape[-1]
+    return _upconv_op(x, w, jnp.ones((co,), jnp.float32),
+                      b.astype(jnp.float32), act)
+
+
+def _upconv_bias_fwd(x, w, b, act):
+    y = _upconv_bias_op(x, w, b, act)
+    return y, (x, w, y)
+
+
+def _upconv_bias_bwd(act, res, g):
+    """Bias-only backward: skips the scale-gradient pipeline entirely
+    (a where/divide/reduce over the full output that the scale-less train
+    path doesn't need — measured ~0.4 ms/step on Stage-I)."""
+    x, w, y = res
+    g32 = g.astype(jnp.float32) * _act_grad_from_output(act, y)
+    d_conv = g32.astype(x.dtype)
+    t_x = jax.linear_transpose(lambda x_: _raw_upconv(x_, w), x)
+    t_w = jax.linear_transpose(lambda w_: _raw_upconv(x, w_), w)
+    dx, = t_x(d_conv)
+    dw, = t_w(d_conv)
+    db = jnp.sum(g32, axis=(0, 1, 2))
+    return dx, dw.astype(w.dtype), db
+
+
+_upconv_bias_op.defvjp(_upconv_bias_fwd, _upconv_bias_bwd)
+
+
+def upconv3x3_bias(x, w, b, act: str = "none"):
+    """``act(conv3x3(upsample2_nearest(x)) + b)`` — the training-path
+    up-block (no per-channel scale; BN follows outside).  Same fused kernel
+    as `upconv3x3`, leaner backward."""
+    h, wd = x.shape[1], x.shape[2]
+    if _interpret() or (w.shape[-1] % 128 == 0 and x.shape[-1] % 128 == 0
+                        and h * wd <= 1024):
+        return _upconv_bias_op(x, w, b, act)
+    return _lax_upconv(x, w, jnp.ones((w.shape[-1],), jnp.float32),
+                       b.astype(jnp.float32), act)
+
+
+def upconv3x3(x, w, scale, shift, act: str = "none"):
+    """Fused ``act(conv3x3(upsample2_nearest(x))·scale + shift)`` — the
+    StackGAN/PGGAN generator up-block.  Never materializes the upsampled
+    tensor; combined-weight parity decomposition does 16/36 of the naive
+    FLOPs.  w is the ordinary [3,3,cin,cout] kernel; scale/shift are
+    per-channel f32 ((1, bias) plain, BN-folded for inference).
+    Differentiable in all array args (backward = exact VJP of the lax
+    composition).  Unaligned channel counts and large spatial maps (whole-
+    image blocks would blow the ~16MB VMEM budget; the kernel wins on the
+    deep small-spatial layers anyway — BASELINE.md) take the lax path."""
+    h, wd = x.shape[1], x.shape[2]
+    if _interpret() or (w.shape[-1] % 128 == 0 and x.shape[-1] % 128 == 0
+                        and h * wd <= 1024):
+        return _upconv_op(x, w, scale, shift, act)
+    return _lax_upconv(x, w, scale.astype(jnp.float32),
+                       shift.astype(jnp.float32), act)
+
+
 # ============================ conv 5x5 s2 + lrelu =============================
 
 # tap k (0..4) reads parity plane k%2 at row offset k//2 of pad(x, (1, 3))

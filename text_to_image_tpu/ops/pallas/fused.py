@@ -95,6 +95,23 @@ def use_join() -> bool:
     return pallas_enabled()
 
 
+def _upconv_wins(x_shape, co: int) -> bool:
+    """Shapes where the fused upsample+conv3x3 beat XLA on v5e (BASELINE.md:
+    −17–20% at 4×4/8×8/16×16 deep layers; XLA wins at ≥32×32)."""
+    b, h, w, cin = x_shape
+    return h * w <= 256 and cin % 128 == 0 and co % 128 == 0
+
+
+def use_upconv(x_shape, co: int) -> bool:
+    """Dispatch predicate for the generator upsample+conv up-block kernel."""
+    if jax.default_backend() != "tpu":
+        return False
+    mode = _MODE.get()
+    if mode == "auto":
+        return _upconv_wins(x_shape, co)
+    return mode == "on"
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 

@@ -86,8 +86,10 @@ def test_wgan_drift_penalty():
     drift = LL.wgan_cls_d_loss(real, real, real, gp=jnp.float32(0.0),
                                mismatch_alpha=0.0, gp_lambda=0.0,
                                drift_epsilon=0.001)
+    # ε·(E[D(real)²] + E[D(wrong)²]) — the anchor covers the mismatched
+    # scores too (the GP-unconstrained text direction; models/losses.py)
     np.testing.assert_allclose(float(drift["d_loss"] - base["d_loss"]),
-                               0.001 * 4.0, rtol=1e-6)
+                               0.001 * (4.0 + 4.0), rtol=1e-6)
 
 
 def test_ca_kl_closed_form():

@@ -135,3 +135,15 @@ def test_multi_step_progression():
         ts, metrics = step(ts, make_batch(cfg, seed=i))
     assert int(ts.step) == 3
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_compute_key_shares_compiled_steps():
+    """Configs differing only in paths/logging knobs reuse ONE cached step;
+    anything compile-relevant (seed, lr, use_pallas, model dims) does not."""
+    base = tiny_config("gancls")
+    a = base.replace(checkpoint_dir="/tmp/a", log_dir="/tmp/la")
+    b = base.replace(checkpoint_dir="/tmp/b", sample_dir="/tmp/sb")
+    assert make_train_step(a) is make_train_step(b)
+    assert make_train_step(a) is not make_train_step(base.replace(seed=7))
+    assert make_train_step(a) is not make_train_step(
+        base.replace(use_pallas="on"))

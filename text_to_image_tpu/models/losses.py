@@ -77,9 +77,15 @@ def wgan_cls_d_loss(real_score, fake_score, wrong_score, gp,
     total = (e_fake - e_real) + mismatch_alpha * (e_wrong - e_real) + gp_lambda * gp
     if drift_epsilon:
         # optional score anchoring (critic values otherwise drift freely —
-        # the Wasserstein objective only constrains differences)
-        total = total + drift_epsilon * jnp.mean(
-            real_score.astype(jnp.float32) ** 2)
+        # the Wasserstein objective only constrains differences).  Anchors
+        # BOTH the real and the mismatched-text scores: the gradient penalty
+        # bounds the real↔fake direction but not the text direction, so the
+        # matching-aware term would otherwise push D(x, t_wrong) to −∞
+        # (measured in the C-PGGAN progression: d_wrong −6785 and collapse
+        # with a real-only anchor)
+        total = total + drift_epsilon * (
+            jnp.mean(real_score.astype(jnp.float32) ** 2)
+            + jnp.mean(wrong_score.astype(jnp.float32) ** 2))
     return {"d_loss": total, "w_dist": wdist, "d_wrong": e_wrong, "gp": gp}
 
 

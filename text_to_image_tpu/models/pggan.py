@@ -128,8 +128,14 @@ def generator_init(key, gan: GanConfig, resolution: int) -> Tuple[Dict, Dict]:
     params["ca"] = _eq_dense_init(ks["ca"], gan.compressed_embed_dim,
                                   2 * gan.ca_dim)
     c0 = stage_channels(1, gan)
-    params["stem"] = _eq_dense_init(ks["stem"], gan.z_dim + gan.ca_dim,
-                                    4 * 4 * c0)
+    # stem sees BOTH the compressed embedding (direct, like WGAN-CLS) and
+    # the CA sample: during the low-resolution stages the adversarial signal
+    # is too weak to keep CA informative against its KL pull (measured KL
+    # →0.007 through the schedule), so the direct path keeps conditioning
+    # robust while CA still regularizes the text manifold
+    params["stem"] = _eq_dense_init(
+        ks["stem"], gan.z_dim + gan.compressed_embed_dim + gan.ca_dim,
+        4 * 4 * c0)
     params["stem_conv"] = _eq_conv_init(jax.random.fold_in(ks["stem"], 1),
                                         3, c0, c0)
     params["rgb1"] = _eq_conv_init(jax.random.fold_in(ks["rgb"], 1), 1, c0, 3)
@@ -159,7 +165,7 @@ def generator_apply(params: Dict, z, emb, key, stage: int, alpha,
     eps = jax.random.normal(key, mu.shape, jnp.float32)
     c = policy.cast(mu + jnp.exp(0.5 * logvar) * eps)
 
-    h = _eq_dense(params["stem"], jnp.concatenate([z, c], axis=-1))
+    h = _eq_dense(params["stem"], jnp.concatenate([z, t, c], axis=-1))
     h = h.reshape(h.shape[0], 4, 4, -1)
     h = pixel_norm(L.lrelu(h))
     h = pixel_norm(L.lrelu(_eq_conv(params["stem_conv"], h)))

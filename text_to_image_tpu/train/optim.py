@@ -14,7 +14,9 @@ from text_to_image_tpu.config import TrainConfig
 
 
 def make_schedule(base_lr: float, cfg: TrainConfig, steps_per_epoch: int):
-    decay_steps = max(1, cfg.lr_decay_epoch * steps_per_epoch)
+    # clamp to int32: a huge lr_decay_epoch means "constant LR" (the PGGAN
+    # recipe) and would otherwise overflow the jitted schedule's step math
+    decay_steps = min(max(1, cfg.lr_decay_epoch * steps_per_epoch), 2**31 - 1)
     return optax.exponential_decay(
         init_value=base_lr,
         transition_steps=decay_steps,

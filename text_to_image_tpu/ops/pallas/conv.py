@@ -120,15 +120,19 @@ def _deconv_pallas(xp, w, s2, t2, act: str, co_tile: int):
 
 
 def _pick_batch_tile(b: int, h: int, wd: int, cin: int, co_tile: int,
-                     budget_bytes: int = 10 * 2**20) -> int:
+                     budget_bytes: int = 8 * 2**20) -> int:
     """Largest divisor batch tile whose in+out blocks fit VMEM alongside the
-    weight block, targeting ≥128 matmul rows per parity."""
+    weight block and the kernel's stack values (padded copy + f32 parity
+    accumulators), targeting ≥128 matmul rows per parity.  The 8MB budget
+    against the 16MB scoped-vmem limit leaves headroom for Mosaic's own
+    staging (measured: 10MB overflowed by 80KB at batch 512)."""
     w_bytes = 25 * cin * co_tile * 2
     for bt in (16, 8, 4, 2, 1):
         if b % bt != 0:
             continue
         blk = bt * (h + 3) * (wd + 3) * cin * 2 + bt * h * wd * 4 * co_tile * 2
-        if w_bytes + 2 * blk <= budget_bytes:  # ×2: pipelined double buffers
+        stack = bt * (h + 3) * (wd + 3) * cin * 2 + bt * h * wd * co_tile * 4
+        if w_bytes + 2 * blk + stack <= budget_bytes:
             return bt
     return 1
 

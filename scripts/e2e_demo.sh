@@ -36,7 +36,7 @@ print("raw data under", img_dir)
 EOF
 
 echo "== 2. preprocess → StackGAN-format pickles"
-python -m text_to_image_tpu.data.preprocess \
+python -m text_to_image_tpu.data.preprocess generic \
   --images "$WORK/raw" --embeddings "$WORK/emb.npz" \
   --classes "$WORK/classes.txt" --out "$WORK/data"
 

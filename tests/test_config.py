@@ -66,3 +66,22 @@ def test_overrides():
     assert c.seed == 3
     c2 = c.replace(seed=9)
     assert c2.seed == 9 and c.seed == 3
+
+
+def test_bool_coercion_only_for_use_pallas():
+    # YAML/CLI booleans map to the tri-state dispatch knob...
+    assert config_from_dict({"use_pallas": True}).use_pallas == "on"
+    assert config_from_dict({"use_pallas": False}).use_pallas == "off"
+    # ...but a bool for any other str field is a user error, not a path "on"
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        config_from_dict({"checkpoint_dir": True})
+
+
+def test_mesh_slices_field_reaches_create_mesh():
+    from text_to_image_tpu.parallel.mesh import create_mesh
+    cfg = config_from_dict({"mesh": {"slices": 2, "data": 2, "model": 2}})
+    assert cfg.mesh.slices == 2
+    if len(__import__("jax").devices()) == 8:
+        env = create_mesh(data=cfg.mesh.data, model=cfg.mesh.model,
+                          slices=cfg.mesh.slices)
+        assert env.slice_size == 2 and env.data_size == 2 and env.model_size == 2

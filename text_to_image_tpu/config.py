@@ -99,6 +99,8 @@ class MeshConfig:
 
     data: int = -1                 # data-parallel axis size
     model: int = 1                 # tensor-parallel axis (shards wide FC layers)
+    slices: int = 1                # multi-slice pods: hierarchical-DP axis
+    # whose cross-slice gradient reduction rides DCN (parallel/mesh.py)
 
 
 @dataclass(frozen=True)
@@ -235,7 +237,7 @@ def _build(cls, overrides: Dict[str, Any]):
             if isinstance(v, dict):
                 kwargs[f.name] = _build(f.default_factory, v)
             else:
-                kwargs[f.name] = _coerce(v, f.type)
+                kwargs[f.name] = _coerce(v, f.type, f.name)
         elif dataclasses.is_dataclass(getattr(f, "default_factory", None)) or (
             isinstance(f.default_factory, type) and dataclasses.is_dataclass(f.default_factory)
         ):
@@ -243,13 +245,18 @@ def _build(cls, overrides: Dict[str, Any]):
     return cls(**kwargs)
 
 
-def _coerce(value: Any, typ: Any) -> Any:
+def _coerce(value: Any, typ: Any, name: str = "") -> Any:
     if typ in ("int", int) and isinstance(value, float) and value.is_integer():
         return int(value)
     if typ in ("float", float) and isinstance(value, int):
         return float(value)
     if typ in ("str", str) and isinstance(value, bool):
-        return "on" if value else "off"   # use_pallas: true/false in YAML
+        # only the tri-state dispatch knob accepts YAML/CLI booleans; for any
+        # other str field (paths, names) a bool is a user error — surface it
+        if name == "use_pallas":
+            return "on" if value else "off"
+        raise ValueError(
+            f"boolean value {value!r} for string-typed config field {name!r}")
     return value
 
 

@@ -134,15 +134,15 @@ class TextDataset:
 
     def _sample_embeddings(self, idx: np.ndarray, window: int) -> np.ndarray:
         """Sample `window` captions per image and average (reference
-        ``sample_embeddings``); window >= #captions uses all of them."""
+        ``sample_embeddings``); window >= #captions uses all of them.
+        Without-replacement draw vectorized over the batch: argsort a row of
+        uniform keys and keep the first `window` — no per-example Python."""
         n = len(idx)
         c = self.embeddings.shape[1]
         if window >= c:
             picks = np.tile(np.arange(c), (n, 1))
-            window = c
         else:
-            picks = np.stack([self._rng.choice(c, size=window, replace=False)
-                              for _ in range(n)])
+            picks = np.argsort(self._rng.random((n, c)), axis=1)[:, :window]
         return native.gather_average_embeddings(self.embeddings, idx, picks)
 
     def _wrong_indices(self, idx: np.ndarray) -> np.ndarray:

@@ -38,11 +38,20 @@ def _make_generator_fn(cfg: Config, train_mode: bool) -> Callable:
     bundle = get_model(cfg)
     policy = L.Policy.from_str(cfg.dtype)
 
+    from text_to_image_tpu.ops.pallas import fused
+
     @jax.jit
-    def gen(g_params, g_state, aux, z, emb, key):
+    def _gen(g_params, g_state, aux, z, emb, key):
         img, _, _ = bundle.gen_apply(g_params, g_state, aux, z, emb, key,
                                      train_mode, policy)
         return img.astype(jnp.float32)
+
+    def gen(g_params, g_state, aux, z, emb, key):
+        # kernel dispatch reads a contextvar at TRACE time; bind it to
+        # cfg.use_pallas (the lru cache key) so the compiled program matches
+        # its key regardless of the ambient mode — same fix as train.steps
+        with fused.use_pallas(cfg.use_pallas):
+            return _gen(g_params, g_state, aux, z, emb, key)
 
     return gen
 

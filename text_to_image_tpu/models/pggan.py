@@ -53,8 +53,12 @@ def num_stages(resolution: int) -> int:
 
 
 def stage_channels(stage: int, gan: GanConfig) -> int:
-    """Feature width per stage, PGGAN-style halving past 32px, capped at
-    4·gf (512 for the flagship gf=128)."""
+    """Feature width per stage, capped at 4·gf (512 for the flagship
+    gf=128).  Deliberately one stage leaner than the Karras recipe: halving
+    starts AT 32px (512,512,512,256,128,64,32 for gf=128, i.e. 32ch at
+    256px where Karras keeps 64) — the conditional variants are small and
+    the leaner tail is what the measured IS-7.65 progression recipe used
+    (BASELINE.md), so the schedule is kept as-measured."""
     return max(16, min(4 * gan.gf_dim, 32 * gan.gf_dim // 2 ** stage))
 
 

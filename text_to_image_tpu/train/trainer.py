@@ -32,7 +32,8 @@ class Trainer:
         self.cfg = cfg
         from text_to_image_tpu.ops.pallas import fused
         fused.set_default(cfg.use_pallas)
-        self.env = env or create_mesh(model=cfg.mesh.model)
+        self.env = env or create_mesh(data=cfg.mesh.data, model=cfg.mesh.model,
+                                      slices=cfg.mesh.slices)
         self.dataset = dataset if dataset is not None else get_dataset(cfg)
         self.steps_per_epoch = max(
             1, self.dataset.num_examples // cfg.train.batch_size)

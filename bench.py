@@ -13,11 +13,15 @@ Two throughputs are measured each run:
 
 * `value` — device-only: one pre-staged on-device batch stepped repeatedly
   (pure compiled-program speed, the comparable kernel number).
-* `pipeline_value` — end-to-end: batches flow through the real host input
-  pipeline (TextDataset serving path: C++ crop/flip/normalize kernels,
-  caption windowing, wrong-pair rejection, uint8 host→HBM transfer, prefetch
-  threads) exactly as `Trainer` runs it.  This is the number a training run
-  actually sees.
+* `resident_value` — end-to-end on the DEFAULT data path: the split staged
+  in HBM once, every batch (index draw, 76→64 random crop, flip, caption
+  window-average, exact-uniform wrong-pair) assembled INSIDE the compiled
+  step (data/device.py).  This is what a training run sees on datasets that
+  fit HBM — no per-step host→device transfer at all.
+* `pipeline_value` — end-to-end on the host-pipeline fallback (TextDataset
+  serving path: C++ crop/flip/normalize kernels, caption windowing,
+  wrong-pair rejection, uint8 host→HBM transfer, prefetch threads), for
+  datasets larger than HBM.  On tunneled dev TPUs this is transfer-bound.
 
 vs_baseline compares against the reference's TF1 single-host CPU throughput.
 The reference publishes no numbers (BASELINE.json "published": {}) and the
@@ -134,18 +138,38 @@ def main():
         rate, ts = _measure(step, ts, lambda: batch_dev, batch, 3, MEASURE_STEPS)
         img_per_chip = round(rate / n_chips, 2)
 
+    # a 512-example 76px split shared by the resident and pipeline benches
+    from text_to_image_tpu.data.textdataset import TextDataset
+    n_ex, n_cls = 512, 16
+    cls = rng.integers(0, n_cls, n_ex)
+    cent = rng.normal(size=(n_cls, cfg.gan.embed_dim)).astype(np.float32)
+    embs = (cent[cls][:, None, :] + 0.1 * rng.normal(
+        size=(n_ex, 5, cfg.gan.embed_dim))).astype(np.float32)
+    imgs = rng.integers(0, 256, (n_ex, 76, 76, 3), dtype=np.uint8)
+    ds = TextDataset.from_arrays(imgs, embs, cls, image_size=64)
+
+    resident_per_chip = None
+    if not args.pipeline_only:
+        try:
+            from text_to_image_tpu.data import device as DD
+            from text_to_image_tpu.train.steps import make_resident_step
+            data = DD.stage(ds, env)
+            rstep = make_resident_step(cfg, steps_per_epoch=100, env=env)
+            rts = init_train_state(prng.base_key(1), cfg, steps_per_epoch=100)
+            rts = jax.device_put(rts, env.replicated())
+            for _ in range(WARMUP_STEPS):
+                rts, metrics = rstep(rts, data)
+            float(metrics["g_loss"])
+            rate, rts = _measure(rstep, rts, lambda: data, batch, 3,
+                                 MEASURE_STEPS)
+            resident_per_chip = round(rate / n_chips, 2)
+        except Exception as e:  # must never sink the harness
+            resident_per_chip = f"failed: {type(e).__name__}: {e}"
+
     pipe_per_chip = None
     if not args.device_only:
         try:
             from text_to_image_tpu.data.pipeline import InputPipeline
-            from text_to_image_tpu.data.textdataset import TextDataset
-            n_ex, n_cls = 512, 16
-            cls = rng.integers(0, n_cls, n_ex)
-            cent = rng.normal(size=(n_cls, cfg.gan.embed_dim)).astype(np.float32)
-            embs = (cent[cls][:, None, :] + 0.1 * rng.normal(
-                size=(n_ex, 5, cfg.gan.embed_dim))).astype(np.float32)
-            imgs = rng.integers(0, 256, (n_ex, 76, 76, 3), dtype=np.uint8)
-            ds = TextDataset.from_arrays(imgs, embs, cls, image_size=64)
             # workers=1 measured best on this 1-core bench host (threads
             # add GIL contention; transfers already pipeline via async
             # dispatch) — raise on real multi-core hosts
@@ -172,6 +196,7 @@ def main():
                 f"{per_chip_batch}/chip)",
         "vs_baseline": round(primary / base, 2)
         if isinstance(primary, (int, float)) else None,
+        "resident_value": resident_per_chip,
         "pipeline_value": pipe_per_chip,
         "baseline_img_per_sec": base,
         "baseline_source": base_src,

@@ -77,6 +77,10 @@ class DataConfig:
     random_crop: bool = True
     workers: int = 2               # host pipeline worker threads
     prefetch: int = 2              # batches kept in flight to HBM
+    device_resident: str = "auto"  # keep the split in HBM and assemble
+    # batches inside the compiled step (data/device.py): "on"/"off", or
+    # "auto" = resident when the split fits resident_budget_mb per chip
+    resident_budget_mb: int = 4096  # auto-mode HBM budget for the split
 
 
 @dataclass(frozen=True)
@@ -149,11 +153,23 @@ class Config:
             data=dataclasses.replace(
                 self.data, dataset_name="", data_dir="", embedding_type="",
                 caption_window=0, random_flip=False, random_crop=False,
-                workers=0, prefetch=0),
+                workers=0, prefetch=0, device_resident="",
+                resident_budget_mb=0),
             train=dataclasses.replace(
                 self.train, max_epoch=0, snapshot_interval=0,
                 sample_interval=0, summary_interval=0),
         )
+
+    def resident_key(self) -> "Config":
+        """compute_key plus the sampling knobs that shape the
+        device-resident step's compiled program (the on-device batch
+        assembly traces caption_window and the crop/flip switches, which the
+        feed path receives as data)."""
+        k = self.compute_key()
+        return k.replace(data=dataclasses.replace(
+            k.data, caption_window=self.data.caption_window,
+            random_crop=self.data.random_crop,
+            random_flip=self.data.random_flip))
 
 
 # --- Reference-key → dataclass-path mapping -------------------------------

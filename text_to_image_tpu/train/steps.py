@@ -104,7 +104,9 @@ def make_train_step(cfg: Config, steps_per_epoch: int = 1000):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_train_step(cfg: Config, steps_per_epoch: int):
+def _make_step_body(cfg: Config, steps_per_epoch: int):
+    """The un-jitted full-schedule step body ``(ts, batch) -> (ts, metrics)``
+    shared by the feed-path and device-resident steps below."""
     bundle = get_model(cfg)
     policy = L.Policy.from_str(cfg.dtype)
     g_tx, d_tx = _optimizers(cfg, steps_per_epoch)
@@ -186,9 +188,6 @@ def _make_train_step(cfg: Config, steps_per_epoch: int):
 
     # ---- the compiled schedule ------------------------------------------
 
-    from text_to_image_tpu.ops.pallas import fused
-
-    @functools.partial(jax.jit, donate_argnums=0)
     def _step_body(ts: TrainState, batch
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         # key derived inside the program (a closed-over device array would be
@@ -234,11 +233,59 @@ def _make_train_step(cfg: Config, steps_per_epoch: int):
             step=ts.step + 1)
         return new_ts, {**d_metrics, **g_metrics}
 
+    return _step_body
+
+
+@functools.lru_cache(maxsize=64)
+def _make_train_step(cfg: Config, steps_per_epoch: int):
+    from text_to_image_tpu.ops.pallas import fused
+
+    body = jax.jit(_make_step_body(cfg, steps_per_epoch), donate_argnums=0)
+
     def step(ts: TrainState, batch):
         # kernel dispatch (ops/pallas/fused) reads a contextvar at TRACE
         # time; bind it to cfg.use_pallas so the lru_cached step is
         # deterministic in cfg regardless of the ambient mode
         with fused.use_pallas(cfg.use_pallas):
-            return _step_body(ts, batch)
+            return body(ts, batch)
+
+    return step
+
+
+def make_resident_step(cfg: Config, steps_per_epoch: int = 1000, env=None):
+    """Returns jitted ``step(ts, data: DeviceData) -> (ts, metrics)`` — the
+    device-resident data path: the whole [K, B, ...] batch (index draw, crop,
+    flip, caption averaging, wrong-pair selection) is derived from
+    ``fold_in(seed, step)`` INSIDE the compiled program, from dataset arrays
+    staged once in HBM (data/device.py).  No per-step host→device transfer,
+    and the data stream replays exactly across restarts/restores.
+
+    Cached on (cfg.resident_key(), steps_per_epoch, env) — the sampling
+    knobs (caption_window, random_crop/flip) shape this program, unlike the
+    feed path's."""
+    return _make_resident_step(cfg.resident_key(), steps_per_epoch, env)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_resident_step(cfg: Config, steps_per_epoch: int, env):
+    from text_to_image_tpu.data import device as DD
+    from text_to_image_tpu.ops.pallas import fused
+
+    body = _make_step_body(cfg.compute_key(), steps_per_epoch)
+    dcfg, tcfg, seed = cfg.data, cfg.train, cfg.seed
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _resident_body(ts: TrainState, data):
+        key = prng.step_key(prng.base_key(seed), ts.step)
+        # fold_in(key, 2): 0 and 1 are the body's critic/generator streams
+        batch = DD.sample_stacked(
+            data, jax.random.fold_in(key, 2), tcfg.n_critic,
+            tcfg.batch_size, dcfg.image_size, dcfg.caption_window,
+            dcfg.random_crop, dcfg.random_flip, env)
+        return body(ts, batch)
+
+    def step(ts: TrainState, data):
+        with fused.use_pallas(cfg.use_pallas):
+            return _resident_body(ts, data)
 
     return step

@@ -16,11 +16,14 @@ import numpy as np
 
 from text_to_image_tpu.config import Config
 from text_to_image_tpu.data import get_dataset
+from text_to_image_tpu.data import device as device_data
 from text_to_image_tpu.data.pipeline import InputPipeline
 from text_to_image_tpu.eval.sampler import make_generator_fn, sample_grid
 from text_to_image_tpu.parallel.mesh import MeshEnv, create_mesh, replicated
 from text_to_image_tpu.train import checkpoint as ckpt
-from text_to_image_tpu.train.steps import init_train_state, make_train_step
+from text_to_image_tpu.train.steps import (init_train_state,
+                                           make_resident_step,
+                                           make_train_step)
 from text_to_image_tpu.utils import prng
 from text_to_image_tpu.utils.images import save_images
 from text_to_image_tpu.utils.metrics import MetricWriter, ThroughputMeter
@@ -55,13 +58,24 @@ class Trainer:
                 print(f"restored checkpoint at step {restored}")
         self.ts = replicated(self.env, ts)
 
-        self.step_fn = make_train_step(cfg, self.steps_per_epoch)
-        self.pipeline = InputPipeline(
-            self.dataset, cfg.train.batch_size, self.env,
-            window=cfg.data.caption_window,
-            batches_per_step=cfg.train.n_critic,
-            prefetch=cfg.data.prefetch,
-            workers=cfg.data.workers)
+        # data path: device-resident (split staged in HBM once, batches
+        # assembled inside the compiled step — data/device.py) when it fits,
+        # else the host pipeline.  The resident path has no per-step
+        # host→device transfer and replays exactly across restores.
+        self.device_data = None
+        self.pipeline = None
+        if self._resident_enabled():
+            self.device_data = device_data.stage(self.dataset, self.env)
+            self.step_fn = make_resident_step(cfg, self.steps_per_epoch,
+                                              self.env)
+        else:
+            self.step_fn = make_train_step(cfg, self.steps_per_epoch)
+            self.pipeline = InputPipeline(
+                self.dataset, cfg.train.batch_size, self.env,
+                window=cfg.data.caption_window,
+                batches_per_step=cfg.train.n_critic,
+                prefetch=cfg.data.prefetch,
+                workers=cfg.data.workers)
         self.metrics = MetricWriter(
             os.path.join(cfg.log_dir, cfg.model, cfg.data.dataset_name))
         self.meter = ThroughputMeter(
@@ -73,6 +87,24 @@ class Trainer:
         self._sample_emb = np.asarray(
             self.dataset.test_embeddings(n_samples), np.float32)
         self._sample_key = jax.random.fold_in(key, 2**30)
+
+    def _resident_enabled(self) -> bool:
+        mode = self.cfg.data.device_resident
+        if mode == "off":
+            return False
+        ds = self.dataset
+        stageable = all(hasattr(ds, a)
+                        for a in ("images", "embeddings", "class_ids"))
+        if mode == "on":
+            if not stageable:
+                raise ValueError(
+                    "device_resident=on but the dataset does not expose "
+                    "in-memory images/embeddings/class_ids arrays")
+            return True
+        # auto: resident when the split fits the per-chip budget
+        return (stageable and
+                device_data.nbytes(ds)
+                <= self.cfg.data.resident_budget_mb * 2**20)
 
     def _load_stage1(self):
         """Stage-II cross-model restore: Stage-I G params from its run dir."""
@@ -97,8 +129,9 @@ class Trainer:
                  else cfg.train.max_epoch * self.steps_per_epoch)
         start = int(jax.device_get(self.ts.step))
         for i in range(start, total):
-            batch = next(self.pipeline)
-            self.ts, metrics = self.step_fn(self.ts, batch)
+            feed = (self.device_data if self.device_data is not None
+                    else next(self.pipeline))
+            self.ts, metrics = self.step_fn(self.ts, feed)
             ips = self.meter.tick()
             if (i + 1) % cfg.train.summary_interval == 0:
                 # reading a metric here is also the NaN guard: GANs diverge
@@ -123,7 +156,8 @@ class Trainer:
             if (i + 1) % cfg.train.snapshot_interval == 0:
                 self.save_checkpoint()
         self.save_checkpoint()
-        self.pipeline.close()
+        if self.pipeline is not None:
+            self.pipeline.close()
 
     def save_samples(self, step: int) -> str:
         imgs = sample_grid(self._gen, self.ts, self.cfg, self._sample_emb,
@@ -140,7 +174,8 @@ class Trainer:
         self.ckpt.save(step, jax.device_get(self.ts))
 
     def close(self):
-        self.pipeline.close()
+        if self.pipeline is not None:
+            self.pipeline.close()
         self.metrics.close()
         self.ckpt.close()
 

@@ -276,5 +276,9 @@ if __name__ == "__main__":
             (b, 8, 8, 512, 256),
             (b, 16, 16, 256, 128),
             (b, 32, 32, 128, 128),
-            (b, 64, 64, 512, 256),   # Stage-II 256px up-path
+            # large-spatial shapes → the halo-tiled row kernel (round 3):
+            (b, 32, 32, 256, 128),   # PGGAN s4→5 up
+            (b, 64, 64, 128, 64),    # PGGAN s5→6 up / Stage-II up2
+            (b, 128, 128, 64, 32),   # PGGAN s6→7 up (256px)
+            (b, 64, 64, 512, 256),   # Stage-II 256px widest up-block
         ]))

@@ -1,0 +1,142 @@
+"""The reference's flagship user journey, end-to-end on real hardware
+(SURVEY.md §3.3): train StackGAN Stage-I at 64px, cross-restore its frozen
+generator into Stage-II via ``stage1_checkpoint``, train Stage-II at 256px,
+and report 256px quality metrics (synthetic IS with a dataset-finetuned
+classifier + fixed-z class-color correlation) plus sample grids.
+
+Runs on the class-structured synthetic dataset (no network in this
+environment — SURVEY.md §6); both stages share class structure and
+embeddings, so Stage-II refines exactly what Stage-I conditioned on.
+
+Run: python scripts/chained_stackgan.py [stage1_steps] [stage2_steps]
+Results are appended to BASELINE.md by hand from the printed summary.
+"""
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+import json
+import shutil
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from text_to_image_tpu.config import Config, DataConfig, GanConfig, TrainConfig
+from text_to_image_tpu.data.synthetic import SyntheticDataset
+from text_to_image_tpu.eval.classifier import (make_classifier_fn,
+                                               train_classifier)
+from text_to_image_tpu.eval.inception import compute_inception_score
+from text_to_image_tpu.eval.sampler import make_generator_fn
+from text_to_image_tpu.train.trainer import Trainer
+from text_to_image_tpu.utils.images import save_images
+
+ROOT = "runs/chained"
+N_CLASSES = 8
+
+
+def _cfg(model: str, image_size: int, root: str) -> Config:
+    return Config(
+        model=model,
+        gan=GanConfig(),  # flagship dims: gf=128, df=64, z=100, embed=1024
+        # constant LR: the staircase decay is epoch-based and the synthetic
+        # split's epochs are tiny (see GAN stability notes in BASELINE.md)
+        train=TrainConfig(batch_size=64, g_steps=1, lr_decay_epoch=10**6,
+                          summary_interval=200, sample_interval=10**9,
+                          snapshot_interval=10**9),
+        data=DataConfig(dataset_name="synthetic", image_size=image_size),
+        dtype="bfloat16",
+        checkpoint_dir=os.path.join(root, "ck"),
+        sample_dir=os.path.join(root, "samples"),
+        log_dir=os.path.join(root, "logs"),
+        stage1_checkpoint=(os.path.join(root, "ck", "stackgan_stage1",
+                                        "synthetic")
+                           if model == "stackgan_stage2" else ""),
+    )
+
+
+def _dataset(image_size: int) -> SyntheticDataset:
+    return SyntheticDataset(num_examples=512, image_size=image_size,
+                            embed_dim=1024, num_classes=N_CLASSES, seed=0)
+
+
+def _train(cfg: Config, ds, steps: int) -> Trainer:
+    t = Trainer(cfg, dataset=ds, restore=False)
+    t0 = time.time()
+    t.train(num_steps=steps)
+    dt = time.time() - t0
+    print(f"[{cfg.model}] {steps} steps in {dt:.0f}s "
+          f"({steps / dt:.1f} steps/s, "
+          f"{steps * cfg.train.batch_size / dt:.0f} img/s)", flush=True)
+    return t
+
+
+def _quality(t: Trainer, cfg: Config, ds) -> dict:
+    gen = make_generator_fn(cfg)
+    ts = t.ts
+
+    # fixed-z class-color correlation at this resolution
+    z0 = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(0), (cfg.gan.z_dim,)),
+        (N_CLASSES, cfg.gan.z_dim))
+    embs = jnp.asarray(np.stack(
+        [ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
+         for c in range(N_CLASSES)]))
+    imgs = np.asarray(jax.device_get(
+        gen(ts.g_params, ts.g_state, ts.aux, z0, embs, jax.random.PRNGKey(1))))
+    gen_colors = ((imgs + 1) / 2).mean(axis=(1, 2))
+    real_colors = np.stack(
+        [(ds.images[ds.class_ids == c].astype(np.float32) / 255
+          ).mean(axis=(0, 1, 2)) for c in range(N_CLASSES)])
+    r = float(np.corrcoef(gen_colors.ravel(), real_colors.ravel())[0, 1])
+
+    # synthetic IS: classifier finetuned on THIS resolution's real images
+    clf_params, acc = train_classifier(ds.images, ds.class_ids, N_CLASSES,
+                                       steps=300)
+    is_mean, is_std = compute_inception_score(
+        lambda z, e, kk: gen(ts.g_params, ts.g_state, ts.aux, z, e, kk),
+        make_classifier_fn(clf_params),
+        ds.test_embeddings().astype(np.float32),
+        num_images=1280, batch_size=64, z_dim=cfg.gan.z_dim)
+    return {"r": round(r, 3), "clf_acc": round(acc, 3),
+            "is_mean": round(float(is_mean), 2),
+            "is_std": round(float(is_std), 2)}
+
+
+def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
+         root: str = ROOT) -> int:
+    shutil.rmtree(root, ignore_errors=True)
+    results = {}
+
+    # ---- Stage-I 64px ----------------------------------------------------
+    cfg1 = _cfg("stackgan_stage1", 64, root)
+    ds64 = _dataset(64)
+    t1 = _train(cfg1, ds64, stage1_steps)
+    results["stage1"] = _quality(t1, cfg1, ds64)
+    print(f"[stage1] {results['stage1']}", flush=True)
+    t1.save_samples(stage1_steps)
+    t1.close()
+
+    # ---- Stage-II 256px, frozen Stage-I restored from its checkpoint ----
+    cfg2 = _cfg("stackgan_stage2", 256, root)
+    ds256 = _dataset(256)
+    t2 = _train(cfg2, ds256, stage2_steps)
+    results["stage2"] = _quality(t2, cfg2, ds256)
+    print(f"[stage2] {results['stage2']}", flush=True)
+    grid = t2.save_samples(stage2_steps)
+    print(f"[stage2] grid: {grid}", flush=True)
+    t2.close()
+
+    print("CHAINED RESULT " + json.dumps(results), flush=True)
+    ok = (results["stage2"]["r"] > 0.9 and results["stage2"]["is_mean"] > 4.0)
+    print("CHAINED PASS" if ok else "CHAINED FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    s1 = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    s2 = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    sys.exit(main(s1, s2))

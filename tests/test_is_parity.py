@@ -30,29 +30,9 @@ from text_to_image_tpu.eval import inception_v3 as iv3
 
 
 def _torchvision_state_dict(params):
-    """Export our param tree as a torchvision-layout state dict of torch
-    tensors (the exact on-disk format a finetuned checkpoint ships in)."""
-    import torch
-
-    sd = {}
-
-    def put(prefix, unit):
-        w = np.transpose(np.asarray(unit["w"]), (3, 2, 0, 1))  # HWIO→OIHW
-        sd[f"{prefix}.conv.weight"] = torch.from_numpy(w.copy())
-        for ours, tv in (("bn_scale", "bn.weight"), ("bn_bias", "bn.bias"),
-                         ("bn_mean", "bn.running_mean"),
-                         ("bn_var", "bn.running_var")):
-            sd[f"{prefix}.{tv}"] = torch.from_numpy(
-                np.asarray(unit[ours]).copy())
-
-    for ours, tv in iv3._TV_UNIT.items():
-        put(tv, params[ours])
-    for name, kind, _, _ in iv3._MIXED:
-        for okey, tv in iv3._TV_BRANCH[kind].items():
-            put(f"Mixed_{name}.{tv}", params[f"mixed_{name}"][okey])
-    sd["fc.weight"] = torch.from_numpy(np.asarray(params["fc"]["w"]).T.copy())
-    sd["fc.bias"] = torch.from_numpy(np.asarray(params["fc"]["b"]).copy())
-    return sd
+    """Exercise the shared exporter (eval/inception_v3.py) — the runbook uses
+    the same function to fabricate its stand-in checkpoint."""
+    return iv3.export_torchvision_state_dict(params)
 
 
 @pytest.fixture(scope="module")

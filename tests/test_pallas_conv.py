@@ -213,3 +213,39 @@ def test_upconv_bias_matches_and_grads():
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=f"{act} grad {name}")
+
+
+@pytest.mark.parametrize("shape,co", [((2, 36, 36, 16), 8),   # halo-tiled
+                                      ((1, 40, 48, 8), 16),   # th from divisors
+                                      ((2, 34, 34, 8), 8)])   # no tile → lax fallback
+@pytest.mark.parametrize("act", ["none", "relu"])
+def test_upconv_halo_forward_matches_lax(shape, co, act):
+    """Large-spatial (h*w > 1024) maps take the halo-tiled row kernel: padded
+    input stays in HBM, each grid step DMAs a 1-row-halo window into a
+    double-buffered scratch."""
+    cin = shape[-1]
+    x = jax.random.normal(KEY, shape)
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, cin, co)) * 0.1
+    s = jax.random.normal(jax.random.fold_in(KEY, 2), (co,)) * 0.3 + 1.0
+    t = jax.random.normal(jax.random.fold_in(KEY, 3), (co,)) * 0.2
+    got = K.upconv3x3(x, w, s, t, act)
+    ref = _lax_upconv_ref(x, w, s, t, act)
+    assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_upconv_halo_gradients_match_lax():
+    x = jax.random.normal(KEY, (1, 36, 36, 8))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, 8, 8)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(KEY, 2), (8,)) * 0.1
+    ct = jax.random.normal(jax.random.fold_in(KEY, 3), (1, 72, 72, 8))
+    ones = jnp.ones((8,))
+    gk = jax.grad(lambda *a: jnp.sum(K.upconv3x3_bias(*a, "lrelu") * ct),
+                  argnums=(0, 1, 2))(x, w, b)
+    gl = jax.grad(lambda x_, w_, b_: jnp.sum(
+        _lax_upconv_ref(x_, w_, ones, b_, "lrelu") * ct),
+        argnums=(0, 1, 2))(x, w, b)
+    for name, a_, b_ in zip("xwb", gk, gl):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"grad {name}")

@@ -85,15 +85,26 @@ def load_embeddings(path: str) -> np.ndarray:
 
 
 def write_split(out_dir: str, split: str, filenames: Sequence[str],
-                images: Sequence[np.ndarray], embeddings: np.ndarray,
+                images, embeddings: np.ndarray,
                 class_ids: Sequence[int]) -> None:
-    assert len(filenames) == len(images) == len(embeddings) == len(class_ids)
+    """`images` may be any iterable (incl. a lazy generator): each image is
+    decoded once, immediately resized to every target size, and the full-res
+    array is dropped — peak memory is one full-res image plus the RESIZED
+    split (the output itself: ≈(76²+304²)·3 B ≈ 294 KB/image, ~1.8 GB for
+    the 5,994-image CUB train split), never the full-res dataset."""
+    resized: Dict[int, List[np.ndarray]] = {s: [] for s in TARGET_SIZES}
+    count = 0
+    for img in images:
+        for size in TARGET_SIZES:
+            resized[size].append(_resize(img, size))
+        count += 1
+    assert len(filenames) == count == len(embeddings) == len(class_ids)
     base = os.path.join(out_dir, split)
     os.makedirs(base, exist_ok=True)
     for size in TARGET_SIZES:
-        resized = [_resize(img, size) for img in images]
         with open(os.path.join(base, f"{size}images.pickle"), "wb") as f:
-            pickle.dump(resized, f, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.dump(resized.pop(size), f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
     with open(os.path.join(base, "char-CNN-RNN-embeddings.pickle"), "wb") as f:
         pickle.dump(np.asarray(embeddings, np.float32), f,
                     protocol=pickle.HIGHEST_PROTOCOL)
@@ -108,22 +119,23 @@ def preprocess(images_dir: str, embeddings_path: str, out_dir: str,
                class_map: Dict[str, int], split_map: Dict[str, str]) -> None:
     """Generic driver: `class_map` filename→class id, `split_map`
     filename→'train'|'test'."""
-    per_split: Dict[str, Tuple[List, List, List, List]] = {
-        "train": ([], [], [], []), "test": ([], [], [], [])}
+    # pass 1: metadata only; pass 2: stream-decode per split (write_split
+    # resizes each image as it arrives — full-res arrays never accumulate)
+    per_split: Dict[str, Tuple[List, List, List]] = {
+        "train": ([], [], []), "test": ([], [], [])}
     embeddings = load_embeddings(embeddings_path)
     names = sorted(class_map)
     assert len(names) == len(embeddings), (
         f"{len(names)} images vs {len(embeddings)} embedding rows")
     for i, name in enumerate(names):
-        split = split_map.get(name, "train")
-        fn, im, em, cl = per_split[split]
+        fn, em, cl = per_split[split_map.get(name, "train")]
         fn.append(name)
-        im.append(load_image(os.path.join(images_dir, name)))
         em.append(embeddings[i])
         cl.append(class_map[name])
-    for split, (fn, im, em, cl) in per_split.items():
+    for split, (fn, em, cl) in per_split.items():
         if fn:
-            write_split(out_dir, split, fn, im, np.stack(em), cl)
+            imgs = (load_image(os.path.join(images_dir, nm)) for nm in fn)
+            write_split(out_dir, split, fn, imgs, np.stack(em), cl)
 
 
 # -- dataset-specific converters (SURVEY.md §2 "Preprocess scripts":
@@ -159,7 +171,7 @@ def preprocess_flowers(raw_dir: str, embeddings_path: str, out_dir: str
 
     for split, ids in (("train", train_ids), ("test", test_ids)):
         names = [f"image_{i:05d}.jpg" for i in ids]
-        imgs = [load_image(os.path.join(raw_dir, "jpg", nm)) for nm in names]
+        imgs = (load_image(os.path.join(raw_dir, "jpg", nm)) for nm in names)
         write_split(out_dir, split, names, imgs,
                     embeddings[ids - 1], class_per_image[ids - 1])
 
@@ -212,21 +224,23 @@ def preprocess_birds(raw_dir: str, embeddings_path: str, out_dir: str
     assert len(embeddings) == len(ids), (
         f"{len(embeddings)} embedding rows vs {len(ids)} images")
 
+    # pass 1: metadata; pass 2: stream decode+bbox-crop per split (full-res
+    # CUB images never accumulate — see write_split's memory bound)
     per_split: Dict[str, Tuple[List, List, List, List]] = {
         "train": ([], [], [], []), "test": ([], [], [], [])}
     for pos, i in enumerate(ids):
-        rel = names[i][0]
-        img = load_image(os.path.join(raw_dir, "images", rel))
-        img = _cub_bbox_crop(img, [float(v) for v in bboxes[i]])
         dest = "train" if int(split[i][0]) == 1 else "test"
-        fn, im, em, cl = per_split[dest]
-        fn.append(rel)
-        im.append(img)
+        fn, bb, em, cl = per_split[dest]
+        fn.append(names[i][0])
+        bb.append([float(v) for v in bboxes[i]])
         em.append(embeddings[pos])
         cl.append(int(labels[i][0]))
-    for dest, (fn, im, em, cl) in per_split.items():
+    for dest, (fn, bb, em, cl) in per_split.items():
         if fn:
-            write_split(out_dir, dest, fn, im, np.stack(em), cl)
+            imgs = (_cub_bbox_crop(
+                load_image(os.path.join(raw_dir, "images", rel)), box)
+                for rel, box in zip(fn, bb))
+            write_split(out_dir, dest, fn, imgs, np.stack(em), cl)
 
 
 def main():  # pragma: no cover

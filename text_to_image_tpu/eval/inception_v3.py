@@ -312,3 +312,32 @@ def make_classifier(params: Dict):
     def classifier(images):
         return apply(params, images)
     return classifier
+
+
+def export_torchvision_state_dict(params: Dict):
+    """Inverse of `from_torchvision_state_dict`: our param tree → a
+    torchvision-layout state dict of torch tensors.  Used by fixtures and the
+    parity runbook to fabricate a realistic finetuned-checkpoint file when
+    the real (non-redistributable) weights are unavailable."""
+    import numpy as np
+    import torch
+
+    sd = {}
+
+    def put(prefix, unit):
+        w = np.transpose(np.asarray(unit["w"]), (3, 2, 0, 1))  # HWIO→OIHW
+        sd[f"{prefix}.conv.weight"] = torch.from_numpy(w.copy())
+        for ours, tv in (("bn_scale", "bn.weight"), ("bn_bias", "bn.bias"),
+                         ("bn_mean", "bn.running_mean"),
+                         ("bn_var", "bn.running_var")):
+            sd[f"{prefix}.{tv}"] = torch.from_numpy(
+                np.asarray(unit[ours]).copy())
+
+    for ours, tv in _TV_UNIT.items():
+        put(tv, params[ours])
+    for name, kind, _, _ in _MIXED:
+        for okey, tv in _TV_BRANCH[kind].items():
+            put(f"Mixed_{name}.{tv}", params[f"mixed_{name}"][okey])
+    sd["fc.weight"] = torch.from_numpy(np.asarray(params["fc"]["w"]).T.copy())
+    sd["fc.bias"] = torch.from_numpy(np.asarray(params["fc"]["b"]).copy())
+    return sd

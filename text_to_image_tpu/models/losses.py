@@ -104,7 +104,10 @@ def gradient_penalty(critic_on_images: Callable[[jax.Array], jax.Array],
     differentiating the surrounding d-loss yields one fused double-backprop
     XLA program (SURVEY.md §3.2 — the compile-critical piece).
     """
-    x_hat = (eps * real + (1.0 - eps) * fake).astype(jnp.float32)
+    # fake + ε·(real − fake) ≡ ε·real + (1−ε)·fake, without broadcasting the
+    # constant 1.0 to ε's (B,1,1,1) rank — SPMD cannot propagate shardings
+    # across those singleton dims (round-2 multichip dryrun warnings)
+    x_hat = (fake + eps * (real - fake)).astype(jnp.float32)
 
     def score_sum(x):
         return jnp.sum(critic_on_images(x).astype(jnp.float32))

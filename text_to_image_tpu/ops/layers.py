@@ -151,9 +151,14 @@ def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     (arXiv:1704.00028 §4: no batch statistics in the critic, since GP is
     defined w.r.t. each input independently)."""
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
-    y = (x32 - mean) * lax.rsqrt(var + eps)
+    # statistics at rank 1, not keepdims: `var + eps` at (B,1,1,1) would
+    # broadcast the constant across singleton dims, which the SPMD
+    # partitioner cannot propagate shardings through (multichip dryrun
+    # 'Involuntary full rematerialization' warnings)
+    mean = jnp.mean(x32, axis=(1, 2, 3))
+    var = jnp.var(x32, axis=(1, 2, 3))
+    inv = lax.rsqrt(var + eps)
+    y = (x32 - mean[:, None, None, None]) * inv[:, None, None, None]
     y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
 

@@ -319,6 +319,105 @@ def _upconv_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, *, h, wd, act):
             o_ref[:, :, py, :, px, :] = y.reshape(bt, h, wd, y.shape[-1])
 
 
+def _upconv_halo_kernel(xp_hbm, w_ref, s_ref, t_ref, o_ref, xs, sems, *,
+                        th, wd, n_h, n_b, act):
+    """Spatially-tiled variant for large feature maps: the padded input stays
+    in HBM (memory space ANY) and each grid step DMAs its [th+2, wd+2, cin]
+    row window — a 1-row halo on each side — into a double-buffered VMEM
+    scratch, prefetching the next window while computing the current one.
+    Overlapping windows are not expressible with BlockSpecs, hence the manual
+    copies; everything else matches `_upconv_kernel`."""
+    bi = pl.program_id(1)
+    i = pl.program_id(2)
+    flat = bi * n_h + i
+
+    def dma(slot, b_, i_):
+        return pltpu.make_async_copy(
+            xp_hbm.at[b_, pl.ds(i_ * th, th + 2)], xs.at[slot],
+            sems.at[slot])
+
+    @pl.when(flat == 0)  # first tile of this co-pass: nothing prefetched yet
+    def _():
+        dma(0, bi, i).start()
+
+    nxt = flat + 1
+
+    @pl.when(nxt < n_b * n_h)
+    def _():
+        dma(nxt % 2, nxt // n_h, nxt % n_h).start()
+
+    dma(flat % 2, bi, i).wait()
+    xp = xs[flat % 2]                                  # [th+2, wd+2, cin]
+    cin = xp.shape[-1]
+    for py in (0, 1):
+        for px in (0, 1):
+            acc = None
+            for a in (0, 1):
+                sh = _UPCONV_TAPS[py][a]
+                for b2 in (0, 1):
+                    sw = _UPCONV_TAPS[px][b2]
+                    arr = xp[sh:sh + th, sw:sw + wd, :]
+                    arr = arr.reshape(th * wd, cin)
+                    part = jnp.dot(arr, w_ref[py, px, a, b2],
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+            y = acc * s_ref[:] + t_ref[:]
+            y = _ACTS[act](y).astype(o_ref.dtype)
+            o_ref[0, :, py, :, px, :] = y.reshape(th, wd, y.shape[-1])
+
+
+def _pick_h_tile(h: int, wd: int, cin: int, co: int,
+                 budget_bytes: int = 6 * 2**20) -> int:
+    """Largest divisor row tile whose double-buffered scratch + output block
+    fit the VMEM budget, targeting >=512 matmul rows per parity."""
+    for th in (32, 16, 8, 4):
+        if h % th != 0:
+            continue
+        scratch = 2 * (th + 2) * (wd + 2) * cin * 2
+        out_blk = th * wd * 4 * co * 2 + th * wd * co * 4   # block + f32 acc
+        if scratch + out_blk + 16 * cin * co * 2 <= budget_bytes:
+            return th
+    return 0
+
+
+def _upconv_halo_pallas(x, w, s2, t2, act: str, th: int):
+    b, h, wd, cin = x.shape
+    co = w.shape[-1]
+    wc = _combine_upconv_weights(w.astype(x.dtype))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    n_h = h // th
+    out = pl.pallas_call(
+        functools.partial(_upconv_halo_kernel, th=th, wd=wd, n_h=n_h, n_b=b,
+                          act=act),
+        out_shape=jax.ShapeDtypeStruct((b, h, 2, wd, 2, co), x.dtype),
+        grid=(1, b, n_h),  # co untiled: the large-spatial layers are thin
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),         # padded x, HBM
+            pl.BlockSpec((2, 2, 2, 2, cin, co),
+                         lambda c, bi, i: (0, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda c, bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda c, bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, 2, wd, 2, co),
+                               lambda c, bi, i: (bi, i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wd + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 16 * b * h * wd * cin * co,
+            bytes_accessed=(x.size + 16 * cin * co) * x.dtype.itemsize
+            + b * h * wd * 4 * co * x.dtype.itemsize,
+            transcendentals=0),
+    )(xp, wc, s2, t2)
+    return out.reshape(b, 2 * h, 2 * wd, co)
+
+
 def _lax_upconv(x, w, s, t, act):
     b, h, wd, _ = x.shape
     up = jnp.broadcast_to(x[:, :, None, :, None, :],
@@ -335,9 +434,15 @@ def _lax_upconv(x, w, s, t, act):
 def _upconv_op(x, w, scale, shift, act: str):
     b, h, wd, cin = x.shape
     co = w.shape[-1]
-    wc = _combine_upconv_weights(w.astype(x.dtype))
     s2 = scale.reshape(1, -1).astype(jnp.float32)
     t2 = shift.reshape(1, -1).astype(jnp.float32)
+    if h * wd > 1024:  # large maps: halo-tiled kernel (whole-image blocks
+        # would blow VMEM); compiled callers gate on _pick_h_tile() > 0
+        th = _pick_h_tile(h, wd, cin, co)
+        if th == 0:   # interpret-mode corner (no divisor tile): same math
+            return _lax_upconv(x, w, s2, t2, act)
+        return _upconv_halo_pallas(x, w, s2, t2, act, th)
+    wc = _combine_upconv_weights(w.astype(x.dtype))
     co_tile = _pick_co_tile(cin, co, budget_bytes=12 * 2**20)
     bt = _pick_batch_tile(b, h, wd, cin, co_tile)
     out = pl.pallas_call(
@@ -447,13 +552,23 @@ def _upconv_bias_bwd(act, res, g):
 _upconv_bias_op.defvjp(_upconv_bias_fwd, _upconv_bias_bwd)
 
 
+def _upconv_supported(x, w) -> bool:
+    """Static shape gate shared by `upconv3x3`/`upconv3x3_bias`: whole-image
+    blocks for small maps (128-lane-aligned channels), halo-tiled rows for
+    large maps (channels may be thin — blocks carry the FULL channel dim,
+    which Mosaic accepts unaligned)."""
+    h, wd = x.shape[1], x.shape[2]
+    cin, co = x.shape[-1], w.shape[-1]
+    if h * wd <= 1024:
+        return co % 128 == 0 and cin % 128 == 0
+    return _pick_h_tile(h, wd, cin, co) > 0
+
+
 def upconv3x3_bias(x, w, b, act: str = "none"):
     """``act(conv3x3(upsample2_nearest(x)) + b)`` — the training-path
     up-block (no per-channel scale; BN follows outside).  Same fused kernel
     as `upconv3x3`, leaner backward."""
-    h, wd = x.shape[1], x.shape[2]
-    if _interpret() or (w.shape[-1] % 128 == 0 and x.shape[-1] % 128 == 0
-                        and h * wd <= 1024):
+    if _interpret() or _upconv_supported(x, w):
         return _upconv_bias_op(x, w, b, act)
     return _lax_upconv(x, w, jnp.ones((w.shape[-1],), jnp.float32),
                        b.astype(jnp.float32), act)
@@ -466,12 +581,9 @@ def upconv3x3(x, w, scale, shift, act: str = "none"):
     FLOPs.  w is the ordinary [3,3,cin,cout] kernel; scale/shift are
     per-channel f32 ((1, bias) plain, BN-folded for inference).
     Differentiable in all array args (backward = exact VJP of the lax
-    composition).  Unaligned channel counts and large spatial maps (whole-
-    image blocks would blow the ~16MB VMEM budget; the kernel wins on the
-    deep small-spatial layers anyway — BASELINE.md) take the lax path."""
-    h, wd = x.shape[1], x.shape[2]
-    if _interpret() or (w.shape[-1] % 128 == 0 and x.shape[-1] % 128 == 0
-                        and h * wd <= 1024):
+    composition).  Small maps use whole-image blocks (aligned channels);
+    large maps use the halo-tiled row kernel; anything else → lax."""
+    if _interpret() or _upconv_supported(x, w):
         return _upconv_op(x, w, scale, shift, act)
     return _lax_upconv(x, w, scale.astype(jnp.float32),
                        shift.astype(jnp.float32), act)

@@ -128,10 +128,14 @@ def _make_step_body(cfg: Config, steps_per_epoch: int):
             x = bundle.prep_images(x)
         return x
 
-    def d_loss_fn(d_params, d_state, g_params, g_state, aux, batch, key):
+    def d_loss_fn(d_params, d_state, g_params, g_state, aux, batch, key, eps):
+        # `eps` (the GP interpolation draw) is sampled OUTSIDE this function:
+        # jax.grad linearizes everything here via jvp, and a jvp'd uniform
+        # materializes zero-tangent broadcasts whose shardings SPMD cannot
+        # propagate (round-2 multichip dryrun warnings)
         real, wrong, emb = (_images(batch["real"]), _images(batch["wrong"]),
                             batch["emb"])
-        kz, kg, keps = jax.random.split(key, 3)
+        kz, kg, _ = jax.random.split(key, 3)
         z = jax.random.normal(kz, (real.shape[0], zdim), jnp.float32)
         fake, _, _ = bundle.gen_apply(g_params, g_state, aux, z, emb, kg,
                                       True, policy)
@@ -144,7 +148,6 @@ def _make_step_body(cfg: Config, steps_per_epoch: int):
             def critic_on_images(x):
                 return bundle.disc_apply(d_params, d_state, aux, x, emb, True,
                                          policy)[0]
-            eps = prng.uniform_eps(keps, real.shape[0])
             gp = LL.gradient_penalty(critic_on_images, real, fake, eps)
             ld = LL.wgan_cls_d_loss(logits[0], logits[1], logits[2], gp,
                                     co.mismatch_alpha, co.gp_lambda,
@@ -205,8 +208,14 @@ def _make_step_body(cfg: Config, steps_per_epoch: int):
         def critic_body(carry, inp):
             d_params, d_state, d_opt = carry
             slice_b, k = inp
+            # GP ε drawn here, outside the differentiated loss (same keps
+            # stream as before: the third split of the per-critic key)
+            keps = jax.random.split(k, 3)[2]
+            eps = (prng.uniform_eps(keps, slice_b["emb"].shape[0])
+                   if bundle.is_wgan else None)
             grads, (new_d_state, ld) = d_grad(
-                d_params, d_state, ts.g_params, ts.g_state, aux, slice_b, k)
+                d_params, d_state, ts.g_params, ts.g_state, aux, slice_b, k,
+                eps)
             updates, d_opt = d_tx.update(grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, updates)
             return (d_params, new_d_state, d_opt), ld

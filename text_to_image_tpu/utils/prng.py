@@ -32,5 +32,13 @@ def split_tree(key: jax.Array, names: Tuple[str, ...]):
 
 
 def uniform_eps(key: jax.Array, batch: int, dtype=jnp.float32) -> jax.Array:
-    """Per-example ε ∈ U[0,1] for WGAN-GP interpolation, broadcastable to NHWC."""
-    return jax.random.uniform(key, (batch, 1, 1, 1), dtype=dtype)
+    """Per-example ε ∈ U[0,1] for WGAN-GP interpolation, broadcastable to NHWC.
+
+    Sampled 1-D then unsqueezed: sampling directly at (B,1,1,1) puts the
+    uniform's internal scalar-constant broadcasts at that rank, and the SPMD
+    partitioner cannot propagate shardings across the singleton dims (the
+    'Involuntary full rematerialization' warnings in the round-2 multichip
+    dryrun log).  stop_gradient keeps the sampler out of the GP's
+    double-backprop linearization for the same reason."""
+    e = jax.lax.stop_gradient(jax.random.uniform(key, (batch,), dtype=dtype))
+    return e[:, None, None, None]

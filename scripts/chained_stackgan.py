@@ -45,7 +45,7 @@ def _cfg(model: str, image_size: int, root: str) -> Config:
         # constant LR: the staircase decay is epoch-based and the synthetic
         # split's epochs are tiny (see GAN stability notes in BASELINE.md)
         train=TrainConfig(batch_size=64, g_steps=1, lr_decay_epoch=10**6,
-                          summary_interval=200, sample_interval=10**9,
+                          summary_interval=50, sample_interval=10**9,
                           snapshot_interval=10**9),
         data=DataConfig(dataset_name="synthetic", image_size=image_size),
         dtype="bfloat16",
@@ -64,7 +64,10 @@ def _dataset(image_size: int) -> SyntheticDataset:
 
 
 def _train(cfg: Config, ds, steps: int) -> Trainer:
+    t0 = time.time()
     t = Trainer(cfg, dataset=ds, restore=False)
+    print(f"[{cfg.model}] trainer ready in {time.time() - t0:.0f}s "
+          f"(init + HBM staging); compiling step…", flush=True)
     t0 = time.time()
     t.train(num_steps=steps)
     dt = time.time() - t0

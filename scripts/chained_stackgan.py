@@ -21,15 +21,8 @@ import json
 import shutil
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
 from text_to_image_tpu.config import Config, DataConfig, GanConfig, TrainConfig
 from text_to_image_tpu.data.synthetic import SyntheticDataset
-from text_to_image_tpu.eval.classifier import (make_classifier_fn,
-                                               train_classifier)
-from text_to_image_tpu.eval.inception import compute_inception_score
 from text_to_image_tpu.eval.sampler import make_generator_fn
 from text_to_image_tpu.train.trainer import Trainer
 from text_to_image_tpu.utils.images import save_images
@@ -43,7 +36,11 @@ def _cfg(model: str, image_size: int, root: str) -> Config:
         model=model,
         gan=GanConfig(),  # flagship dims: gf=128, df=64, z=100, embed=1024
         # constant LR: the staircase decay is epoch-based and the synthetic
-        # split's epochs are tiny (see GAN stability notes in BASELINE.md)
+        # split's epochs are tiny (see GAN stability notes in BASELINE.md).
+        # g_steps=1 (the StackGAN recipe) PASSES here despite alarming
+        # running metrics (d_loss→1e-3, g_loss 6–10, CA KL ≈0.03): the
+        # non-saturating CE keeps G learning and conditioning survives —
+        # measured stage1 r=0.982/IS 6.71, stage2 256px r=0.949/IS 7.34.
         train=TrainConfig(batch_size=64, g_steps=1, lr_decay_epoch=10**6,
                           summary_interval=50, sample_interval=10**9,
                           snapshot_interval=10**9),
@@ -78,35 +75,8 @@ def _train(cfg: Config, ds, steps: int) -> Trainer:
 
 
 def _quality(t: Trainer, cfg: Config, ds) -> dict:
-    gen = make_generator_fn(cfg)
-    ts = t.ts
-
-    # fixed-z class-color correlation at this resolution
-    z0 = jnp.broadcast_to(
-        jax.random.normal(jax.random.PRNGKey(0), (cfg.gan.z_dim,)),
-        (N_CLASSES, cfg.gan.z_dim))
-    embs = jnp.asarray(np.stack(
-        [ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
-         for c in range(N_CLASSES)]))
-    imgs = np.asarray(jax.device_get(
-        gen(ts.g_params, ts.g_state, ts.aux, z0, embs, jax.random.PRNGKey(1))))
-    gen_colors = ((imgs + 1) / 2).mean(axis=(1, 2))
-    real_colors = np.stack(
-        [(ds.images[ds.class_ids == c].astype(np.float32) / 255
-          ).mean(axis=(0, 1, 2)) for c in range(N_CLASSES)])
-    r = float(np.corrcoef(gen_colors.ravel(), real_colors.ravel())[0, 1])
-
-    # synthetic IS: classifier finetuned on THIS resolution's real images
-    clf_params, acc = train_classifier(ds.images, ds.class_ids, N_CLASSES,
-                                       steps=300)
-    is_mean, is_std = compute_inception_score(
-        lambda z, e, kk: gen(ts.g_params, ts.g_state, ts.aux, z, e, kk),
-        make_classifier_fn(clf_params),
-        ds.test_embeddings().astype(np.float32),
-        num_images=1280, batch_size=64, z_dim=cfg.gan.z_dim)
-    return {"r": round(r, 3), "clf_acc": round(acc, 3),
-            "is_mean": round(float(is_mean), 2),
-            "is_std": round(float(is_std), 2)}
+    from text_to_image_tpu.eval.synthetic_quality import evaluate
+    return evaluate(make_generator_fn(cfg), t.ts, cfg, ds, N_CLASSES)
 
 
 def main(stage1_steps: int = 3000, stage2_steps: int = 3000,

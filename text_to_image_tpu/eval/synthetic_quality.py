@@ -1,0 +1,53 @@
+"""Quality metrics for the class-structured synthetic task (the offline
+stand-in for the reference's Oxford-102/CUB quality runs — SURVEY.md §6).
+
+Two numbers, at the model's own resolution:
+
+* **fixed-z class-color correlation** — with one fixed z, sweeping the class
+  embedding must sweep the generated mean color in lockstep with the real
+  class colors (conditioning works end-to-end; r > 0.9 = conditioned),
+* **synthetic Inception score** — the reference IS protocol
+  (eval/inception.py) with a classifier finetuned on this resolution's real
+  images; max = #classes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text_to_image_tpu.eval.classifier import (make_classifier_fn,
+                                               train_classifier)
+from text_to_image_tpu.eval.inception import compute_inception_score
+
+
+def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
+             num_images: int = 1280) -> Dict[str, float]:
+    """gen = make_generator_fn(cfg); ts = TrainState; ds = SyntheticDataset."""
+    z0 = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(0), (cfg.gan.z_dim,)),
+        (num_classes, cfg.gan.z_dim))
+    embs = jnp.asarray(np.stack(
+        [ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
+         for c in range(num_classes)]))
+    imgs = np.asarray(jax.device_get(
+        gen(ts.g_params, ts.g_state, ts.aux, z0, embs, jax.random.PRNGKey(1))))
+    gen_colors = ((imgs + 1) / 2).mean(axis=(1, 2))
+    real_colors = np.stack(
+        [(ds.images[ds.class_ids == c].astype(np.float32) / 255
+          ).mean(axis=(0, 1, 2)) for c in range(num_classes)])
+    r = float(np.corrcoef(gen_colors.ravel(), real_colors.ravel())[0, 1])
+
+    clf_params, acc = train_classifier(ds.images, ds.class_ids, num_classes,
+                                       steps=300)
+    is_mean, is_std = compute_inception_score(
+        lambda z, e, kk: gen(ts.g_params, ts.g_state, ts.aux, z, e, kk),
+        make_classifier_fn(clf_params),
+        ds.test_embeddings().astype(np.float32),
+        num_images=num_images, batch_size=64, z_dim=cfg.gan.z_dim)
+    return {"r": round(r, 3), "clf_acc": round(acc, 3),
+            "is_mean": round(float(is_mean), 2),
+            "is_std": round(float(is_std), 2)}

@@ -136,8 +136,14 @@ class Trainer:
             if (i + 1) % cfg.train.summary_interval == 0:
                 # reading a metric here is also the NaN guard: GANs diverge
                 # silently, the reference would train on — we stop with the
-                # last good checkpoint intact
-                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                # last good checkpoint intact.  One stacked fetch: per-scalar
+                # device_get costs a full tunnel round-trip EACH (~40 ms+ on
+                # dev TPUs); stacking on device makes the summary 2 RTTs
+                import jax.numpy as jnp
+                names = sorted(metrics)
+                vals = np.asarray(jax.device_get(
+                    jnp.stack([metrics[k] for k in names])))
+                host = {k: float(v) for k, v in zip(names, vals)}
                 bad = [k for k, v in host.items() if not np.isfinite(v)]
                 if bad:
                     self.metrics.write(i + 1, host)
@@ -148,8 +154,12 @@ class Trainer:
                 if ips is not None:
                     host["images_per_sec"] = ips
                 host["epoch"] = i // self.steps_per_epoch
-                from text_to_image_tpu.utils.metrics import hbm_stats
-                host.update(hbm_stats())
+                # memory stats are an extra device RPC — sample sparsely
+                self._summaries = getattr(self, "_summaries", 0) + 1
+                if self._summaries % 10 == 1:
+                    from text_to_image_tpu.utils.metrics import hbm_stats
+                    self._hbm = hbm_stats()
+                host.update(getattr(self, "_hbm", {}))
                 self.metrics.write(i + 1, host)
             if (i + 1) % cfg.train.sample_interval == 0:
                 self.save_samples(i + 1)

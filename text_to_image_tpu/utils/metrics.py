@@ -75,23 +75,25 @@ def hbm_stats() -> Dict[str, float]:
 
 
 class ThroughputMeter:
-    """Images/sec over a sliding window, excluding the first (compile) step."""
+    """Images/sec over a sliding window of recent ticks, excluding the first
+    (compile) step — a cumulative-since-start average would forever drag in
+    early stalls (compiles, cold summaries)."""
+
+    WINDOW = 200
 
     def __init__(self, images_per_step: int):
+        import collections
         self.images_per_step = images_per_step
-        self._t0: Optional[float] = None
-        self._steps = 0
+        self._ticks: "collections.deque[float]" = collections.deque(
+            maxlen=self.WINDOW)
 
     def tick(self) -> Optional[float]:
-        now = time.perf_counter()
-        if self._t0 is None:        # first tick after compile: start window
-            self._t0 = now
-            self._steps = 0
+        self._ticks.append(time.perf_counter())
+        if len(self._ticks) < 2:    # first tick (post-compile) opens window
             return None
-        self._steps += 1
-        dt = now - self._t0
-        return self.images_per_step * self._steps / dt if dt > 0 else None
+        dt = self._ticks[-1] - self._ticks[0]
+        return (self.images_per_step * (len(self._ticks) - 1) / dt
+                if dt > 0 else None)
 
     def reset(self):
-        self._t0 = None
-        self._steps = 0
+        self._ticks.clear()

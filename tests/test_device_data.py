@@ -211,3 +211,30 @@ def test_trainer_off_uses_pipeline(tmp_path):
         assert t.device_data is None and t.pipeline is not None
     finally:
         t.close()
+
+
+def test_sample_stacked_shards_over_mesh_and_matches_unsharded():
+    """Multi-chip resident path: with the dataset replicated and the batch
+    constrained to the mesh data axis, the sampled values must equal the
+    unconstrained single-device sample (sharding changes placement, not
+    content), and the output must actually be sharded."""
+    import jax
+    from text_to_image_tpu.parallel.mesh import create_mesh
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    env = create_mesh(data=8, model=1)
+    data, *_ = _toy_data()
+    data_repl = jax.device_put(data, env.replicated())
+    key = jax.random.PRNGKey(11)
+
+    ref = jax.jit(lambda d, k: DD.sample_stacked(
+        d, k, 2, 16, 12, 2, True, True))(data, key)
+    sharded = jax.jit(lambda d, k: DD.sample_stacked(
+        d, k, 2, 16, 12, 2, True, True, env))(data_repl, key)
+    for name in ref:
+        np.testing.assert_array_equal(np.asarray(ref[name]),
+                                      np.asarray(sharded[name]), err_msg=name)
+    # the batch axis (axis 1) is genuinely split over the data axis
+    shard_shapes = {s.data.shape for s in sharded["real"].addressable_shards}
+    assert shard_shapes == {(2, 2, 12, 12, 3)}

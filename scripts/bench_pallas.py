@@ -250,6 +250,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--upconv", action="store_true",
+                   help="only the upsample+conv3x3 table (incl. halo shapes)")
     p.add_argument("--batch", type=int, default=64)
     args = p.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {len(jax.devices())}")
@@ -259,6 +261,17 @@ if __name__ == "__main__":
             print(f"{name}: {dt:.3f} ms")
     elif args.eval:
         show(bench_eval_generator())
+    elif args.upconv:
+        b = args.batch
+        show(bench_upconv([
+            (b, 16, 16, 256, 128),   # in-VMEM whole-image kernel (r2 winner)
+            (b, 32, 32, 128, 128),
+            # large-spatial shapes → the halo-tiled row kernel (round 3):
+            (b, 32, 32, 256, 128),   # PGGAN s4→5 up
+            (b, 64, 64, 128, 64),    # PGGAN s5→6 up / Stage-II up2
+            (b, 128, 128, 64, 32),   # PGGAN s6→7 up (256px)
+            (b, 64, 64, 512, 256),   # Stage-II 256px widest up-block
+        ]))
     else:
         b = args.batch
         show(bench_deconv([

@@ -47,10 +47,13 @@ def _make_generator_fn(cfg: Config, train_mode: bool) -> Callable:
         return img.astype(jnp.float32)
 
     def gen(g_params, g_state, aux, z, emb, key):
-        # kernel dispatch reads a contextvar at TRACE time; bind it to
+        # kernel dispatch reads contextvars at TRACE time; bind the mode to
         # cfg.use_pallas (the lru cache key) so the compiled program matches
-        # its key regardless of the ambient mode — same fix as train.steps
-        with fused.use_pallas(cfg.use_pallas):
+        # its key regardless of the ambient mode — same fix as train.steps —
+        # and mark the trace forward-only so auto dispatch may use the wider
+        # inference win table (large-map up-blocks win standalone but lose
+        # inside training graphs; see fused._upconv_wins)
+        with fused.use_pallas(cfg.use_pallas), fused.inference():
             return _gen(g_params, g_state, aux, z, emb, key)
 
     return gen

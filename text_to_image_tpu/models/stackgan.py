@@ -61,12 +61,17 @@ def _up_block_init(key, c_in: int, c_out: int) -> Tuple[Dict, Dict]:
 
 def _up_block(p: Dict, s: Dict, x: jax.Array, train: bool
               ) -> Tuple[jax.Array, Dict]:
-    # Deliberately NOT the fused Pallas upconv3x3 kernel here: with the
-    # BatchNorm that follows, XLA's joint fwd+bwd conv fusion wins the full
-    # training graph (measured: stage-1 G fwd+bwd 3.11 ms XLA vs 3.44 ms
-    # kernel, despite the kernel winning the conv in isolation — see
-    # BASELINE.md).  The kernel dispatches where it wins end-to-end: the
-    # BN-free PGGAN up-blocks (models/pggan.py).
+    # Deliberately NOT the fused Pallas upconv3x3 kernel here — a twice-
+    # measured negative verdict (BASELINE.md).  Round 2, small maps: XLA's
+    # joint fwd+bwd conv fusion wins the stage-1 training graph (G fwd+bwd
+    # 3.11 ms XLA vs 3.44 ms kernel) despite the kernel winning the conv in
+    # isolation.  Round 3, large maps: the halo-tiled kernel wins the
+    # 64×64×128→64 up-block standalone by −45%, but wiring it here made the
+    # full Stage-II 256px train step 10% SLOWER (132.4 vs 120.3 ms/step,
+    # batch 64) — the custom-VJP boundary breaks XLA's conv+BN-stats fusion
+    # and the lax-composed backward loses what the forward saves.  The
+    # kernel dispatches where it wins end-to-end: the BN-free PGGAN
+    # up-blocks (models/pggan.py).
     x = L.upsample_nearest(x, 2)
     x = L.conv2d(p["conv"], x, stride=1)
     x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train)

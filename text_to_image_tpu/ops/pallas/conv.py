@@ -319,21 +319,31 @@ def _upconv_kernel(x_ref, w_ref, s_ref, t_ref, o_ref, *, h, wd, act):
             o_ref[:, :, py, :, px, :] = y.reshape(bt, h, wd, y.shape[-1])
 
 
-def _upconv_halo_kernel(xp_hbm, w_ref, s_ref, t_ref, o_ref, xs, sems, *,
+def _upconv_halo_kernel(xh_hbm, w_ref, s_ref, t_ref, o_ref, xs, sems, *,
                         th, wd, n_h, n_b, act):
-    """Spatially-tiled variant for large feature maps: the padded input stays
-    in HBM (memory space ANY) and each grid step DMAs its [th+2, wd+2, cin]
-    row window — a 1-row halo on each side — into a double-buffered VMEM
-    scratch, prefetching the next window while computing the current one.
-    Overlapping windows are not expressible with BlockSpecs, hence the manual
-    copies; everything else matches `_upconv_kernel`."""
+    """Spatially-tiled variant for large feature maps: the row-padded input
+    stays in HBM (memory space ANY) and each grid step DMAs its
+    [th+2, wd, cin] row window — a 1-row halo on each side — into a
+    double-buffered VMEM scratch, prefetching the next window while computing
+    the current one.  Overlapping windows are not expressible with
+    BlockSpecs, hence the manual copies.
+
+    Two real-Mosaic constraints shape this kernel (both found by on-TPU
+    compile failures, round 3):
+    * the HBM input must NOT be width-padded — a DMA window over a
+      (wd+2)-wide memref trips "slice must be aligned to tiling (8)";
+      columns are padded here in VMEM instead (vector op, supported);
+    * the column parity px is folded into the lane dim (output lanes are
+      (px, co)-major, giving the same memory layout as the
+      [..., wd, 2, co] interleave) so stores keep ≥128 lanes for co ≥ 64
+      and avoid the 6-D `vector<1xTx1xWx1xC>` shape cast Mosaic rejects."""
     bi = pl.program_id(1)
     i = pl.program_id(2)
     flat = bi * n_h + i
 
     def dma(slot, b_, i_):
         return pltpu.make_async_copy(
-            xp_hbm.at[b_, pl.ds(i_ * th, th + 2)], xs.at[slot],
+            xh_hbm.at[b_, pl.ds(i_ * th, th + 2)], xs.at[slot],
             sems.at[slot])
 
     @pl.when(flat == 0)  # first tile of this co-pass: nothing prefetched yet
@@ -347,9 +357,10 @@ def _upconv_halo_kernel(xp_hbm, w_ref, s_ref, t_ref, o_ref, xs, sems, *,
         dma(nxt % 2, nxt // n_h, nxt % n_h).start()
 
     dma(flat % 2, bi, i).wait()
-    xp = xs[flat % 2]                                  # [th+2, wd+2, cin]
+    xp = jnp.pad(xs[flat % 2], ((0, 0), (1, 1), (0, 0)))   # [th+2, wd+2, cin]
     cin = xp.shape[-1]
     for py in (0, 1):
+        parts = []
         for px in (0, 1):
             acc = None
             for a in (0, 1):
@@ -361,51 +372,75 @@ def _upconv_halo_kernel(xp_hbm, w_ref, s_ref, t_ref, o_ref, xs, sems, *,
                     part = jnp.dot(arr, w_ref[py, px, a, b2],
                                    preferred_element_type=jnp.float32)
                     acc = part if acc is None else acc + part
-            y = acc * s_ref[:] + t_ref[:]
-            y = _ACTS[act](y).astype(o_ref.dtype)
-            o_ref[0, :, py, :, px, :] = y.reshape(th, wd, y.shape[-1])
+            parts.append(acc)
+        y = jnp.concatenate(parts, axis=-1)        # [th*wd, 2co] (px, co) lanes
+        y = y * s_ref[:] + t_ref[:]
+        y = _ACTS[act](y).astype(o_ref.dtype)
+        o_ref[0, :, py, :, :] = y.reshape(th, wd, y.shape[-1])
 
 
 def _pick_h_tile(h: int, wd: int, cin: int, co: int,
                  budget_bytes: int = 6 * 2**20) -> int:
-    """Largest divisor row tile whose double-buffered scratch + output block
-    fit the VMEM budget, targeting >=512 matmul rows per parity."""
+    """Largest divisor row tile whose double-buffered scratch + in-kernel
+    padded copy + output block fit the VMEM budget, targeting >=512 matmul
+    rows per parity."""
     for th in (32, 16, 8, 4):
         if h % th != 0:
             continue
-        scratch = 2 * (th + 2) * (wd + 2) * cin * 2
-        out_blk = th * wd * 4 * co * 2 + th * wd * co * 4   # block + f32 acc
-        if scratch + out_blk + 16 * cin * co * 2 <= budget_bytes:
+        scratch = 2 * (th + 2) * wd * cin * 2          # DMA double buffer
+        padded = (th + 2) * (wd + 2) * cin * 2         # in-kernel width pad
+        # bf16 output block + two live f32 parity accumulators per py pass
+        out_blk = th * wd * 2 * co * 2 + 2 * th * wd * co * 4
+        if scratch + padded + out_blk + 16 * cin * co * 2 <= budget_bytes:
             return th
     return 0
 
 
+def _halo_padded_dims(cin: int, co: int) -> tuple[int, int]:
+    """Channel dims the halo kernel actually runs at: cin must fill 128-lane
+    registers for the HBM DMA windows; co must make the folded (px, co) lane
+    dim a multiple of 128.  Zero-padded taps contribute nothing, so numerics
+    are exact; the cin pad rides the same XLA copy that row-pads the input."""
+    return -(-cin // 128) * 128, -(-co // 64) * 64
+
+
 def _upconv_halo_pallas(x, w, s2, t2, act: str, th: int):
     b, h, wd, cin = x.shape
-    co = w.shape[-1]
+    co_out = w.shape[-1]
+    cin_p, co = _halo_padded_dims(cin, co_out)
     wc = _combine_upconv_weights(w.astype(x.dtype))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if co != co_out:
+        wc = jnp.pad(wc, ((0, 0),) * 5 + ((0, co - co_out),))
+        s2 = jnp.pad(s2, ((0, 0), (0, co - co_out)), constant_values=1.0)
+        t2 = jnp.pad(t2, ((0, 0), (0, co - co_out)))
+    if cin_p != cin:
+        wc = jnp.pad(wc, ((0, 0),) * 4 + ((0, cin_p - cin), (0, 0)))
+    # rows only: the width dim must stay sublane-aligned for the DMA windows
+    xh = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, cin_p - cin)))
+    cin = cin_p
+    s4 = jnp.tile(s2, (1, 2))                    # (px, co)-major lane layout
+    t4 = jnp.tile(t2, (1, 2))
     n_h = h // th
     out = pl.pallas_call(
         functools.partial(_upconv_halo_kernel, th=th, wd=wd, n_h=n_h, n_b=b,
                           act=act),
-        out_shape=jax.ShapeDtypeStruct((b, h, 2, wd, 2, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, 2, wd, 2 * co), x.dtype),
         grid=(1, b, n_h),  # co untiled: the large-spatial layers are thin
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),         # padded x, HBM
+            pl.BlockSpec(memory_space=pl.ANY),         # row-padded x, HBM
             pl.BlockSpec((2, 2, 2, 2, cin, co),
                          lambda c, bi, i: (0, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda c, bi, i: (0, 0),
+            pl.BlockSpec((1, 2 * co), lambda c, bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co), lambda c, bi, i: (0, 0),
+            pl.BlockSpec((1, 2 * co), lambda c, bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, 2, wd, 2, co),
-                               lambda c, bi, i: (bi, i, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, th, 2, wd, 2 * co),
+                               lambda c, bi, i: (bi, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, wd + 2, cin), x.dtype),
+            pltpu.VMEM((2, th + 2, wd, cin), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
@@ -414,8 +449,11 @@ def _upconv_halo_pallas(x, w, s2, t2, act: str, th: int):
             bytes_accessed=(x.size + 16 * cin * co) * x.dtype.itemsize
             + b * h * wd * 4 * co * x.dtype.itemsize,
             transcendentals=0),
-    )(xp, wc, s2, t2)
-    return out.reshape(b, 2 * h, 2 * wd, co)
+    )(xh, wc, s4, t4)
+    # (b, h, 2, wd, 2co) with (px, co)-major lanes IS the row/column
+    # interleave layout — a pure reshape recovers NHWC
+    out = out.reshape(b, 2 * h, 2 * wd, co)
+    return out[..., :co_out] if co != co_out else out
 
 
 def _lax_upconv(x, w, s, t, act):
@@ -437,8 +475,9 @@ def _upconv_op(x, w, scale, shift, act: str):
     s2 = scale.reshape(1, -1).astype(jnp.float32)
     t2 = shift.reshape(1, -1).astype(jnp.float32)
     if h * wd > 1024:  # large maps: halo-tiled kernel (whole-image blocks
-        # would blow VMEM); compiled callers gate on _pick_h_tile() > 0
-        th = _pick_h_tile(h, wd, cin, co)
+        # would blow VMEM); compiled callers gate on _pick_h_tile() > 0,
+        # evaluated at the padded channel dims the kernel runs at
+        th = _pick_h_tile(h, wd, *_halo_padded_dims(cin, co))
         if th == 0:   # interpret-mode corner (no divisor tile): same math
             return _lax_upconv(x, w, s2, t2, act)
         return _upconv_halo_pallas(x, w, s2, t2, act, th)
@@ -555,13 +594,17 @@ _upconv_bias_op.defvjp(_upconv_bias_fwd, _upconv_bias_bwd)
 def _upconv_supported(x, w) -> bool:
     """Static shape gate shared by `upconv3x3`/`upconv3x3_bias`: whole-image
     blocks for small maps (128-lane-aligned channels), halo-tiled rows for
-    large maps (channels may be thin — blocks carry the FULL channel dim,
-    which Mosaic accepts unaligned)."""
+    large maps (thin channels are zero-padded to the lane alignment —
+    `_halo_padded_dims` — so only the width alignment and the VMEM budget
+    gate the halo path)."""
     h, wd = x.shape[1], x.shape[2]
     cin, co = x.shape[-1], w.shape[-1]
     if h * wd <= 1024:
         return co % 128 == 0 and cin % 128 == 0
-    return _pick_h_tile(h, wd, cin, co) > 0
+    # halo path: width must be sublane-aligned for the HBM DMA windows; the
+    # VMEM budget is evaluated at the padded channel dims the kernel runs at
+    return wd % 8 == 0 and _pick_h_tile(h, wd,
+                                        *_halo_padded_dims(cin, co)) > 0
 
 
 def upconv3x3_bias(x, w, b, act: str = "none"):

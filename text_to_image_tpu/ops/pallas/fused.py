@@ -69,6 +69,27 @@ def use_pallas(mode):
         _MODE.reset(tok)
 
 
+# Forward-only (inference) traces flip this off; training graphs keep the
+# default.  The split exists because the dispatch economics differ: in a
+# training graph the custom-VJP boundary breaks XLA's joint fwd+bwd fusion
+# and large-map kernels LOSE end-to-end (round-3 measurements: Stage-II
+# 256px +10%, PGGAN stage-6 +11% with halo dispatch on), while in a pure
+# forward the standalone wins apply directly (−31…−47% on ≥32×32 up-blocks).
+_TRAINING = contextvars.ContextVar("pallas_training", default=True)
+
+
+@contextlib.contextmanager
+def inference():
+    """Mark the enclosed trace as forward-only: auto dispatch may use the
+    wider measured-win tables (no backward to pessimize).  Wrap the TRACE,
+    not the call — dispatch predicates are evaluated at trace time."""
+    tok = _TRAINING.set(False)
+    try:
+        yield
+    finally:
+        _TRAINING.reset(tok)
+
+
 # ---- measured per-shape dispatch (auto mode) --------------------------------
 
 def _deconv_wins(x_shape, co: int) -> bool:
@@ -96,10 +117,23 @@ def use_join() -> bool:
 
 
 def _upconv_wins(x_shape, co: int) -> bool:
-    """Shapes where the fused upsample+conv3x3 beat XLA on v5e (BASELINE.md:
-    −17–20% at 4×4/8×8/16×16 deep layers; XLA wins at ≥32×32)."""
+    """Shapes where the fused upsample+conv3x3 beats XLA on v5e (BASELINE.md
+    round-2/3 tables).  TRAINING graphs: only the deep ≤16×16 layers win
+    (−17…−20%); every larger map measured SLOWER end-to-end despite winning
+    standalone, because the custom-VJP boundary breaks XLA's joint fwd+bwd
+    fusion (Stage-II 256px +10%, PGGAN stage 6 +11%, stage 7 +2.4%).
+    INFERENCE (forward-only) traces get the wider table where the standalone
+    forward wins apply directly: whole-image blocks to 32×32 (−10…−31%) and
+    the halo-tiled row kernel for ≥64×64 maps whose channels need no lane
+    padding (−45% at 64×64×128→64, −47% at 64×64×512→256); XLA keeps
+    thin-channel large maps (padding doubles the MACs: +37% at
+    128×128×64→32)."""
     b, h, w, cin = x_shape
-    return h * w <= 256 and cin % 128 == 0 and co % 128 == 0
+    if _TRAINING.get():
+        return h * w <= 256 and cin % 128 == 0 and co % 128 == 0
+    if h * w <= 1024:
+        return cin % 128 == 0 and co % 128 == 0
+    return cin % 128 == 0 and co % 64 == 0
 
 
 def use_upconv(x_shape, co: int) -> bool:

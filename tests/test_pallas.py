@@ -143,3 +143,53 @@ def test_discriminator_same_with_and_without_pallas():
         fused.pallas_enabled = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_upconv_dispatch_splits_on_trace_intent():
+    """The auto-dispatch win table differs between training graphs and
+    forward-only traces (BASELINE.md round-3: large-map kernels win
+    standalone/inference but lose in training graphs through the custom-VJP
+    fusion break).  `fused.inference()` flips the contextvar the predicate
+    reads at trace time."""
+    wins = fused._upconv_wins
+
+    # deep small maps win everywhere
+    assert wins((64, 8, 8, 512), 256)
+    with fused.inference():
+        assert wins((64, 8, 8, 512), 256)
+
+    # 32x32x256->128: inference-only win (-33% standalone)
+    assert not wins((64, 32, 32, 256), 128)
+    with fused.inference():
+        assert wins((64, 32, 32, 256), 128)
+
+    # 32x32x128->128 measured a tie: XLA keeps it in both modes
+    with fused.inference():
+        assert not wins((64, 32, 32, 128), 128)
+
+    # halo shapes: inference-only, lane-aligned channels required
+    assert not wins((64, 64, 64, 128), 64)
+    with fused.inference():
+        assert wins((64, 64, 64, 128), 64)        # -45% measured
+        assert wins((64, 64, 64, 512), 256)       # -47% measured
+        assert not wins((64, 128, 128, 64), 32)   # +37% (thin-channel pad)
+
+    # the context restores on exit
+    assert not wins((64, 64, 64, 128), 64)
+
+
+def test_upconv_thin_channel_padding_matches_lax():
+    """Halo kernel with channels below lane alignment zero-pads cin/co
+    (`conv._halo_padded_dims`); numerics must be exact vs lax."""
+    from text_to_image_tpu.ops.pallas import conv as K
+
+    x = jax.random.normal(KEY, (1, 40, 40, 24))          # h*w>1024, thin cin
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, 24, 12)) * 0.1
+    s = jax.random.normal(jax.random.fold_in(KEY, 2), (12,)) * 0.3 + 1.0
+    t = jax.random.normal(jax.random.fold_in(KEY, 3), (12,)) * 0.2
+    got = K.upconv3x3(x, w, s, t, "relu")
+    s2 = s.reshape(1, -1).astype(jnp.float32)
+    t2 = t.reshape(1, -1).astype(jnp.float32)
+    ref = K._lax_upconv(x, w, s2, t2, "relu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -7,6 +7,12 @@ and reports 256 px quality (synthetic IS + fixed-z class-color correlation)
 plus a sample grid.
 
 Run: python scripts/pggan_progression.py [steps_per_stage] [image_size]
+     python scripts/pggan_progression.py --resume [steps_per_stage] [image_size]
+
+``--resume`` re-enters the stage loop at the first stage the latest
+checkpoint does not cover (each stage's Trainer restores latest-on-start and
+``train`` no-ops when the restored step already covers the stage), so an
+interrupted progression continues instead of restarting.
 """
 
 import os
@@ -58,15 +64,17 @@ def _cfg(steps_per_stage: int, image_size: int, root: str) -> Config:
 
 
 def main(steps_per_stage: int = 3000, image_size: int = 256,
-         root: str = ROOT) -> int:
-    shutil.rmtree(root, ignore_errors=True)
+         root: str = ROOT, resume: bool = False) -> int:
+    if not resume:
+        shutil.rmtree(root, ignore_errors=True)
     cfg = _cfg(steps_per_stage, image_size, root)
     n = PG.num_stages(image_size)
+    run_dir = os.path.join(cfg.checkpoint_dir, "pggan", "synthetic")
 
     t0 = time.time()
-    train_progressive(cfg)
+    train_progressive(cfg)  # skips checkpoint-covered stages (resume)
     print(f"[pggan] {n}-stage progression "
-          f"({n * steps_per_stage} steps) in {time.time() - t0:.0f}s",
+          f"({n * steps_per_stage} steps total) in {time.time() - t0:.0f}s",
           flush=True)
 
     # final-stage eval: restore the last checkpoint into a fresh full-depth
@@ -75,7 +83,6 @@ def main(steps_per_stage: int = 3000, image_size: int = 256,
         cfg.pggan, stage=n, start_step=(n - 1) * steps_per_stage))
     ds = get_dataset(final)
     ts = init_train_state(prng.base_key(cfg.seed), final, steps_per_epoch=8)
-    run_dir = os.path.join(cfg.checkpoint_dir, "pggan", "synthetic")
     ts, restored = ckpt.CheckpointManager(run_dir).restore(ts)
     assert restored is not None, f"no checkpoint under {run_dir}"
     print(f"[pggan] restored step {restored}", flush=True)
@@ -98,6 +105,8 @@ def main(steps_per_stage: int = 3000, image_size: int = 256,
 
 
 if __name__ == "__main__":
-    sps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    res = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    sys.exit(main(sps, res))
+    argv = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    sps = int(argv[0]) if len(argv) > 0 else 3000
+    res = int(argv[1]) if len(argv) > 1 else 256
+    sys.exit(main(sps, res, resume=resume))

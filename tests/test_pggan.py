@@ -142,3 +142,34 @@ def test_progression_carries_checkpoints(tmp_path):
     restored, step = mgr.restore(ts)
     assert step == 4
     mgr.close()
+
+
+@pytest.mark.slow
+def test_progression_resume_skips_covered_stages(tmp_path, monkeypatch):
+    """An interrupted progression resumes at the first uncovered stage:
+    re-running train_progressive over an existing run dir must not rebuild
+    Trainers for stages the latest checkpoint already covers (each no-op
+    Trainer costs a full init over a tunneled TPU)."""
+    import os
+    from text_to_image_tpu.train import trainer as T
+
+    cfg = pg_config(stage=0, image_size=8)  # 2 stages: 4px, 8px
+    cfg = cfg.replace(
+        checkpoint_dir=str(tmp_path / "ck"),
+        sample_dir=str(tmp_path / "samples"),
+        log_dir=str(tmp_path / "logs"),
+        train=dataclasses.replace(cfg.train, snapshot_interval=10**9,
+                                  sample_interval=10**9))
+    T.train_progressive(cfg, total_steps=4)  # full 2-stage run
+
+    built = []
+    real = T.Trainer
+
+    class CountingTrainer(real):
+        def __init__(self, sub, *a, **k):
+            built.append(sub.pggan.stage)
+            super().__init__(sub, *a, **k)
+
+    monkeypatch.setattr(T, "Trainer", CountingTrainer)
+    T.train_progressive(cfg, total_steps=4)  # resume over the finished run
+    assert built == [2], f"expected only the final stage, rebuilt {built}"

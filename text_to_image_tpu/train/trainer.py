@@ -205,7 +205,17 @@ def train_progressive(cfg: Config, total_steps: Optional[int] = None) -> None:
     n = PG.num_stages(cfg.data.image_size)
     per_stage = (max(1, total_steps // n) if total_steps is not None
                  else cfg.pggan.steps_per_stage)
-    for stage in range(1, n + 1):
+    # resume: skip stages the latest checkpoint already covers — a covered
+    # stage's Trainer would no-op, but its init alone costs ~75 s over a
+    # tunneled TPU (see .claude/skills/verify)
+    run_dir = os.path.join(cfg.checkpoint_dir, cfg.model,
+                           cfg.data.dataset_name)
+    done = ckpt.CheckpointManager(run_dir).latest_step() or 0
+    first = min(done // per_stage + 1, n)
+    if first > 1:
+        print(f"[pggan] checkpoint at step {done} covers stages 1..{first-1}"
+              f" — resuming at stage {first}/{n}")
+    for stage in range(first, n + 1):
         sub = cfg.replace(pggan=dataclasses.replace(
             cfg.pggan, stage=stage, steps_per_stage=per_stage,
             start_step=(stage - 1) * per_stage))

@@ -9,7 +9,7 @@ line:
     {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s/chip",
      "vs_baseline": N, "pipeline_value": N, ...}
 
-Two throughputs are measured each run:
+Four throughputs are measured each run:
 
 * `value` — device-only: one pre-staged on-device batch stepped repeatedly
   (pure compiled-program speed, the comparable kernel number).
@@ -22,6 +22,9 @@ Two throughputs are measured each run:
   serving path: C++ crop/flip/normalize kernels, caption windowing,
   wrong-pair rejection, uint8 host→HBM transfer, prefetch threads), for
   datasets larger than HBM.  On tunneled dev TPUs this is transfer-bound.
+* `sampling_value` — serving path: generator forward-only under the
+  inference kernel dispatch (`eval/sampler.py` + `fused.inference()`),
+  images/sec/chip at the same batch.
 
 vs_baseline compares against the reference's TF1 single-host CPU throughput.
 The reference publishes no numbers (BASELINE.json "published": {}) and the
@@ -187,6 +190,35 @@ def main():
         except Exception as e:  # pipeline bench must never sink the harness
             pipe_per_chip = f"failed: {type(e).__name__}: {e}"
 
+    sampling_per_chip = None
+    if not args.pipeline_only:
+        try:
+            # serving path: generator forward under the inference dispatch
+            # (eval/sampler.py) — fresh z per call, batch sharded over data.
+            # Async dispatch queues the window; the tail scalar fetch syncs.
+            from text_to_image_tpu.eval.sampler import make_generator_fn
+            gen = make_generator_fn(cfg)
+            z = jax.device_put(
+                rng.normal(size=(batch, cfg.gan.z_dim)).astype(np.float32),
+                env.batch())
+            emb = jax.device_put(host["emb"][0], env.batch())
+            key = jax.device_put(jax.random.PRNGKey(0), env.replicated())
+            img = None
+            for _ in range(WARMUP_STEPS):
+                img = gen(ts.g_params, ts.g_state, ts.aux, z, emb, key)
+            float(img[0, 0, 0, 0])
+            rates = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(MEASURE_STEPS):
+                    img = gen(ts.g_params, ts.g_state, ts.aux, z, emb, key)
+                float(img[0, 0, 0, 0])
+                rates.append(MEASURE_STEPS * batch
+                             / (time.perf_counter() - t0))
+            sampling_per_chip = round(sorted(rates)[1] / n_chips, 2)
+        except Exception as e:  # must never sink the harness
+            sampling_per_chip = f"failed: {type(e).__name__}: {e}"
+
     base, base_src = _baseline()
     primary = img_per_chip if img_per_chip is not None else pipe_per_chip
     print(json.dumps({
@@ -198,6 +230,7 @@ def main():
         if isinstance(primary, (int, float)) else None,
         "resident_value": resident_per_chip,
         "pipeline_value": pipe_per_chip,
+        "sampling_value": sampling_per_chip,
         "baseline_img_per_sec": base,
         "baseline_source": base_src,
     }))

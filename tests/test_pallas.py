@@ -193,3 +193,37 @@ def test_upconv_thin_channel_padding_matches_lax():
     ref = K._lax_upconv(x, w, s2, t2, "relu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_batch_norm_act_composite_matches_batch_norm():
+    """L.batch_norm_act default path must be bit-identical to batch_norm +
+    activation (dispatch off everywhere except forced-on TPU), and the
+    forced affine refactoring must agree numerically in both train modes."""
+    p, s = L.batch_norm_init(128, KEY)
+    x = jax.random.normal(jax.random.fold_in(KEY, 7), (4, 8, 8, 128))
+    for train in (True, False):
+        for act in ("relu", "lrelu"):
+            y, ns = L.batch_norm_act(p, s, x, train, act=act)
+            y_ref, ns_ref = L.batch_norm(p, s, x, train)
+            y_ref = L._BN_ACTS[act](y_ref)
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+            for k in ns:
+                np.testing.assert_array_equal(np.asarray(ns[k]),
+                                              np.asarray(ns_ref[k]))
+
+
+def test_batch_norm_act_affine_fold_equivalent():
+    """The act(x·a + b) refactoring used by the fused path equals the plain
+    normalize-then-affine composition to fp tolerance."""
+    p, s = L.batch_norm_init(128, KEY)
+    s = {"mean": jax.random.normal(KEY, (128,)),
+         "var": jax.random.uniform(KEY, (128,), minval=0.5, maxval=2.0)}
+    x = jax.random.normal(jax.random.fold_in(KEY, 9), (4, 8, 8, 128))
+    eps = 1e-5
+    a = jax.lax.rsqrt(s["var"] + eps) * p["scale"]
+    b = p["bias"] - s["mean"] * a
+    got = fused.bn_act(x, a, b, "relu")
+    ref, _ = L.batch_norm(p, s, x, train=False)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jax.nn.relu(ref)),
+                               rtol=1e-5, atol=1e-5)

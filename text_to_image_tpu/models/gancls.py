@@ -113,14 +113,12 @@ def generator_apply(params: Dict, state: Dict, z: jax.Array, emb: jax.Array,
     h = L.linear(params["stem"], jnp.concatenate([z, t], axis=-1))
     stem_c = h.shape[-1] // 16
     h = h.reshape(h.shape[0], 4, 4, stem_c)
-    h, new_state["stem_bn"] = L.batch_norm(params["stem_bn"], state["stem_bn"],
-                                           h, train)
-    h = jax.nn.relu(h)
+    h, new_state["stem_bn"] = L.batch_norm_act(params["stem_bn"],
+                                               state["stem_bn"], h, train)
     for i in range(n_up - 1):
         h = _up_deconv(params[f"up{i}"], h)
-        h, new_state[f"up{i}_bn"] = L.batch_norm(
+        h, new_state[f"up{i}_bn"] = L.batch_norm_act(
             params[f"up{i}_bn"], state[f"up{i}_bn"], h, train)
-        h = jax.nn.relu(h)
     img = _up_deconv(params["out"], h, act="tanh")
     return img, new_state
 
@@ -221,22 +219,24 @@ def discriminator_apply(params: Dict, state: Dict, x: jax.Array,
     h = x
     for i in range(n_down):
         h = L.conv2d(params[f"down{i}"], h, stride=2)
-        if i > 0:
-            if norm == "batch":
-                h, new_state[f"down{i}_bn"] = L.batch_norm(
-                    params[f"down{i}_bn"], state[f"down{i}_bn"], h, train)
-            elif norm == "layer":
+        if i > 0 and norm == "batch":
+            h, new_state[f"down{i}_bn"] = L.batch_norm_act(
+                params[f"down{i}_bn"], state[f"down{i}_bn"], h, train,
+                act="lrelu")
+        else:
+            if i > 0 and norm == "layer":
                 h = L.layer_norm(params[f"down{i}_ln"], h)
-        h = L.lrelu(h)
+            h = L.lrelu(h)
 
     t = L.lrelu(L.linear(params["embed"], emb))
     h = _text_join(params["join"], h, t, allow_pallas=(norm != "layer"))
     if norm == "batch":
-        h, new_state["join_bn"] = L.batch_norm(params["join_bn"],
-                                               state["join_bn"], h, train)
-    elif norm == "layer":
-        h = L.layer_norm(params["join_ln"], h)
-    h = L.lrelu(h)
+        h, new_state["join_bn"] = L.batch_norm_act(
+            params["join_bn"], state["join_bn"], h, train, act="lrelu")
+    else:
+        if norm == "layer":
+            h = L.layer_norm(params["join_ln"], h)
+        h = L.lrelu(h)
     logit = L.conv2d(params["logit"], h, stride=1, padding="VALID")
     return logit.reshape(logit.shape[0]), new_state
 

@@ -74,8 +74,8 @@ def _up_block(p: Dict, s: Dict, x: jax.Array, train: bool
     # up-blocks (models/pggan.py).
     x = L.upsample_nearest(x, 2)
     x = L.conv2d(p["conv"], x, stride=1)
-    x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train)
-    return jax.nn.relu(x), {"bn": bn_s}
+    x, bn_s = L.batch_norm_act(p["bn"], s["bn"], x, train)
+    return x, {"bn": bn_s}
 
 
 def _res_block_init(key, c: int) -> Tuple[Dict, Dict]:
@@ -89,8 +89,7 @@ def _res_block_init(key, c: int) -> Tuple[Dict, Dict]:
 def _res_block(p: Dict, s: Dict, x: jax.Array, train: bool
                ) -> Tuple[jax.Array, Dict]:
     h = L.conv2d(p["conv1"], x, stride=1)
-    h, s1 = L.batch_norm(p["bn1"], s["bn1"], h, train)
-    h = jax.nn.relu(h)
+    h, s1 = L.batch_norm_act(p["bn1"], s["bn1"], h, train)
     h = L.conv2d(p["conv2"], h, stride=1)
     h, s2 = L.batch_norm(p["bn2"], s["bn2"], h, train)
     return jax.nn.relu(x + h), {"bn1": s1, "bn2": s2}
@@ -136,9 +135,8 @@ def stage1_generator_apply(params: Dict, state: Dict, z: jax.Array,
     c, mu, logvar = ca_apply(params["ca"], emb, key)
     h = L.linear(params["stem"], jnp.concatenate([z, c], axis=-1))
     h = h.reshape(h.shape[0], 4, 4, -1)
-    h, new_state["stem_bn"] = L.batch_norm(params["stem_bn"], state["stem_bn"],
-                                           h, train)
-    h = jax.nn.relu(h)
+    h, new_state["stem_bn"] = L.batch_norm_act(params["stem_bn"],
+                                               state["stem_bn"], h, train)
     for i in range(n_up):
         h, new_state[f"up{i}"] = _up_block(params[f"up{i}"], state[f"up{i}"],
                                            h, train)
@@ -200,15 +198,13 @@ def stage2_generator_apply(params: Dict, state: Dict, lr_img: jax.Array,
     h = jax.nn.relu(L.conv2d(params["enc0"], lr_img, stride=1))
     for i in range(1, 3):
         h = L.conv2d(params[f"enc{i}"], h, stride=2)
-        h, new_state[f"enc{i}_bn"] = L.batch_norm(
+        h, new_state[f"enc{i}_bn"] = L.batch_norm_act(
             params[f"enc{i}_bn"], state[f"enc{i}_bn"], h, train)
-        h = jax.nn.relu(h)
 
     h = L.tile_and_concat(h, c)
     h = L.conv2d(params["join"], h, stride=1)
-    h, new_state["join_bn"] = L.batch_norm(params["join_bn"], state["join_bn"],
-                                           h, train)
-    h = jax.nn.relu(h)
+    h, new_state["join_bn"] = L.batch_norm_act(
+        params["join_bn"], state["join_bn"], h, train)
 
     r = 0
     while f"res{r}" in params:

@@ -140,6 +140,43 @@ def batch_norm(p: Params, state: Params, x: jax.Array, train: bool,
     return y.astype(x.dtype), new_state
 
 
+_BN_ACTS = {"relu": jax.nn.relu, "lrelu": lambda x: lrelu(x),
+            "tanh": jnp.tanh, "none": lambda x: x}
+
+
+def batch_norm_act(p: Params, state: Params, x: jax.Array, train: bool,
+                   act: str = "relu", momentum: float = 0.9, eps: float = 1e-5
+                   ) -> Tuple[jax.Array, Params]:
+    """``batch_norm`` followed by an activation.  When dispatch enables the
+    fused ``bn_act`` Pallas kernel (``fused.use_bn_act`` — mode 'on' only;
+    the round-3 A/B in BASELINE.md measured a tie, so auto keeps XLA), the
+    normalize-affine + activation epilogue is expressed as ``act(x·a + b)``
+    with per-channel a = γ·rsqrt(σ²+ε), b = β − μ·a and routed through the
+    kernel.  The default path is bit-identical to ``batch_norm`` +
+    activation; the fused affine refactoring changes only fp rounding
+    order."""
+    from text_to_image_tpu.ops.pallas import fused
+
+    if not fused.use_bn_act():
+        y, new_state = batch_norm(p, state, x, train, momentum, eps)
+        return _BN_ACTS[act](y), new_state
+
+    x32 = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.var(x32, axis=(0, 1, 2))
+        new_state = {
+            "mean": momentum * state["mean"] + (1.0 - momentum) * mean,
+            "var": momentum * state["var"] + (1.0 - momentum) * var,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    a = lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    b = p["bias"].astype(jnp.float32) - mean * a
+    return fused.bn_act(x, a, b, act), new_state
+
+
 # --- layer norm (WGAN-GP critic: BN is invalid under gradient penalty) --------
 
 def layer_norm_init(c: int) -> Params:

@@ -116,6 +116,19 @@ def use_join() -> bool:
     return pallas_enabled()
 
 
+def use_bn_act() -> bool:
+    """Dispatch predicate for routing training-graph batch-norm epilogues
+    (normalize-affine + activation) through the bn_act kernel.  Measured
+    (BASELINE.md round-3 bn_act A/B, `scripts/bench_bn_act.py`): a TIE on
+    both full training graphs — GAN-CLS 64px 8.35 vs 8.33 ms/step, Stage-II
+    256px 117.3 vs 117.2 ms/step — XLA already fuses the elementwise BN
+    epilogue into neighbouring ops, so the kernel has nothing left to save;
+    auto keeps XLA (simpler graph, no custom-VJP boundary), force with mode
+    'on'.  The inference path never needs this kernel: eval-mode BN folds
+    into the conv epilogue entirely (models/gancls.py::folded_deconv)."""
+    return pallas_enabled()
+
+
 def _upconv_wins(x_shape, co: int) -> bool:
     """Shapes where the fused upsample+conv3x3 beats XLA on v5e (BASELINE.md
     round-2/3 tables).  TRAINING graphs: only the deep ≤16×16 layers win
@@ -226,7 +239,7 @@ def bn_act(x: jax.Array, a: jax.Array, b: jax.Array, act: str = "relu",
     Falls back to the plain jnp composition when shapes don't tile."""
     bsz, h, w, c = x.shape
     rows = bsz * h * w
-    if rows % row_tile != 0 or c % 128 != 0 or not pallas_enabled():
+    if rows % row_tile != 0 or c % 128 != 0 or not use_bn_act():
         y = x.astype(jnp.float32) * a.astype(jnp.float32) + b.astype(jnp.float32)
         return _ACTS[act](y).astype(x.dtype)
     y = _bn_act_core(x.reshape(rows, c),

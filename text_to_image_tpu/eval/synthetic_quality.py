@@ -41,7 +41,15 @@ def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
           ).mean(axis=(0, 1, 2)) for c in range(num_classes)])
     r = float(np.corrcoef(gen_colors.ravel(), real_colors.ravel())[0, 1])
 
-    clf_params, acc = train_classifier(ds.images, ds.class_ids, num_classes,
+    # crop-source datasets (TextDataset/NaturalPhotoDataset) store images
+    # larger than the model's resolution; finetune the classifier at the
+    # generated size (center crop) so train and eval distributions match
+    clf_images = ds.images
+    src, out = clf_images.shape[1], imgs.shape[1]
+    if src != out:
+        o = (src - out) // 2
+        clf_images = clf_images[:, o:o + out, o:o + out]
+    clf_params, acc = train_classifier(clf_images, ds.class_ids, num_classes,
                                        steps=300)
     is_mean, is_std = compute_inception_score(
         lambda z, e, kk: gen(ts.g_params, ts.g_state, ts.aux, z, e, kk),

@@ -7,8 +7,12 @@ classifier + fixed-z class-color correlation) plus sample grids.
 Runs on the class-structured synthetic dataset (no network in this
 environment — SURVEY.md §6); both stages share class structure and
 embeddings, so Stage-II refines exactly what Stage-I conditioned on.
+A third arg selects `natural` (data/natural.py): real-photograph texture
+crops at the reference source geometry (76px for Stage-I, 304px for
+Stage-II) — the journey on real pixels.
 
 Run: python scripts/chained_stackgan.py [stage1_steps] [stage2_steps]
+     [synthetic|natural]
 Results are appended to BASELINE.md by hand from the printed summary.
 """
 
@@ -31,7 +35,8 @@ ROOT = "runs/chained"
 N_CLASSES = 8
 
 
-def _cfg(model: str, image_size: int, root: str) -> Config:
+def _cfg(model: str, image_size: int, root: str,
+         dataset: str = "synthetic") -> Config:
     return Config(
         model=model,
         gan=GanConfig(),  # flagship dims: gf=128, df=64, z=100, embed=1024
@@ -44,18 +49,23 @@ def _cfg(model: str, image_size: int, root: str) -> Config:
         train=TrainConfig(batch_size=64, g_steps=1, lr_decay_epoch=10**6,
                           summary_interval=50, sample_interval=10**9,
                           snapshot_interval=10**9),
-        data=DataConfig(dataset_name="synthetic", image_size=image_size),
+        data=DataConfig(dataset_name=dataset, image_size=image_size),
         dtype="bfloat16",
         checkpoint_dir=os.path.join(root, "ck"),
         sample_dir=os.path.join(root, "samples"),
         log_dir=os.path.join(root, "logs"),
         stage1_checkpoint=(os.path.join(root, "ck", "stackgan_stage1",
-                                        "synthetic")
+                                        dataset)
                            if model == "stackgan_stage2" else ""),
     )
 
 
-def _dataset(image_size: int) -> SyntheticDataset:
+def _dataset(image_size: int, dataset: str = "synthetic"):
+    if dataset == "natural":
+        from text_to_image_tpu.data.natural import NaturalPhotoDataset
+        return NaturalPhotoDataset(examples_per_class=64,
+                                   image_size=image_size,
+                                   embed_dim=1024, seed=0)
     return SyntheticDataset(num_examples=512, image_size=image_size,
                             embed_dim=1024, num_classes=N_CLASSES, seed=0)
 
@@ -80,13 +90,13 @@ def _quality(t: Trainer, cfg: Config, ds) -> dict:
 
 
 def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
-         root: str = ROOT) -> int:
+         root: str = ROOT, dataset: str = "synthetic") -> int:
     shutil.rmtree(root, ignore_errors=True)
     results = {}
 
     # ---- Stage-I 64px ----------------------------------------------------
-    cfg1 = _cfg("stackgan_stage1", 64, root)
-    ds64 = _dataset(64)
+    cfg1 = _cfg("stackgan_stage1", 64, root, dataset)
+    ds64 = _dataset(64, dataset)
     t1 = _train(cfg1, ds64, stage1_steps)
     results["stage1"] = _quality(t1, cfg1, ds64)
     print(f"[stage1] {results['stage1']}", flush=True)
@@ -94,8 +104,8 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
     t1.close()
 
     # ---- Stage-II 256px, frozen Stage-I restored from its checkpoint ----
-    cfg2 = _cfg("stackgan_stage2", 256, root)
-    ds256 = _dataset(256)
+    cfg2 = _cfg("stackgan_stage2", 256, root, dataset)
+    ds256 = _dataset(256, dataset)
     t2 = _train(cfg2, ds256, stage2_steps)
     results["stage2"] = _quality(t2, cfg2, ds256)
     print(f"[stage2] {results['stage2']}", flush=True)
@@ -112,4 +122,5 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
 if __name__ == "__main__":
     s1 = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     s2 = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
-    sys.exit(main(s1, s2))
+    dset = sys.argv[3] if len(sys.argv) > 3 else "synthetic"
+    sys.exit(main(s1, s2, dataset=dset))

@@ -7,7 +7,14 @@ and reports 256 px quality (synthetic IS + fixed-z class-color correlation)
 plus a sample grid.
 
 Run: python scripts/pggan_progression.py [steps_per_stage] [image_size]
-     python scripts/pggan_progression.py --resume [steps_per_stage] [image_size]
+     [synthetic|natural]
+     python scripts/pggan_progression.py --resume [steps_per_stage]
+     [image_size] [synthetic|natural]
+
+A ``natural`` third arg points the same recipe at data/natural.py (real
+photograph texture crops, 304 px source for a 256 px run) — the
+progressive-growing path on real pixels; each stage's program downsamples
+the staged reals on device (models/pggan.py::downsample_to).
 
 ``--resume`` re-enters the stage loop at the first stage the latest
 checkpoint does not cover (each stage's Trainer restores latest-on-start and
@@ -41,7 +48,8 @@ from text_to_image_tpu.utils.images import save_images
 ROOT = "runs/pggan256"
 
 
-def _cfg(steps_per_stage: int, image_size: int, root: str) -> Config:
+def _cfg(steps_per_stage: int, image_size: int, root: str,
+         dataset: str = "synthetic") -> Config:
     # the shipped configs/pggan_flowers_256.yml recipe, pointed at the
     # synthetic dataset (no network/datasets in this environment)
     return Config(
@@ -53,7 +61,7 @@ def _cfg(steps_per_stage: int, image_size: int, root: str) -> Config:
                           snapshot_interval=10**9,
                           coeff=CoeffConfig(gp_lambda=10.0,
                                             drift_epsilon=1e-3)),
-        data=DataConfig(dataset_name="synthetic", image_size=image_size),
+        data=DataConfig(dataset_name=dataset, image_size=image_size),
         pggan=PgganConfig(stage=0, steps_per_stage=steps_per_stage,
                           fade_fraction=0.5),
         dtype="bfloat16",
@@ -64,12 +72,13 @@ def _cfg(steps_per_stage: int, image_size: int, root: str) -> Config:
 
 
 def main(steps_per_stage: int = 3000, image_size: int = 256,
-         root: str = ROOT, resume: bool = False) -> int:
+         root: str = ROOT, resume: bool = False,
+         dataset: str = "synthetic") -> int:
     if not resume:
         shutil.rmtree(root, ignore_errors=True)
-    cfg = _cfg(steps_per_stage, image_size, root)
+    cfg = _cfg(steps_per_stage, image_size, root, dataset)
     n = PG.num_stages(image_size)
-    run_dir = os.path.join(cfg.checkpoint_dir, "pggan", "synthetic")
+    run_dir = os.path.join(cfg.checkpoint_dir, "pggan", dataset)
 
     t0 = time.time()
     train_progressive(cfg)  # skips checkpoint-covered stages (resume)
@@ -95,7 +104,7 @@ def main(steps_per_stage: int = 3000, image_size: int = 256,
                        ds.test_embeddings(32).astype("float32"),
                        jax.random.PRNGKey(7))
     path = save_images(grid, os.path.join(
-        "assets", f"pggan_{image_size}px_synthetic_grid.png"))
+        "assets", f"pggan_{image_size}px_{dataset}_grid.png"))
     print(f"[pggan] grid: {path}", flush=True)
 
     print("PGGAN256 RESULT " + json.dumps(q), flush=True)
@@ -109,4 +118,5 @@ if __name__ == "__main__":
     resume = "--resume" in sys.argv[1:]
     sps = int(argv[0]) if len(argv) > 0 else 3000
     res = int(argv[1]) if len(argv) > 1 else 256
-    sys.exit(main(sps, res, resume=resume))
+    dset = argv[2] if len(argv) > 2 else "synthetic"
+    sys.exit(main(sps, res, resume=resume, dataset=dset))

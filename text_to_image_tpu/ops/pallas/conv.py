@@ -517,20 +517,78 @@ def _upconv_fwd(x, w, scale, shift, act):
     return y, (x, w, scale, shift, y)
 
 
-def _raw_upconv(x, w):
-    b, h, wd, c = x.shape
-    up = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, wd, 2, c))
-    up = up.reshape(b, 2 * h, 2 * wd, c)
-    return lax.conv_general_dilated(up, w.astype(x.dtype), (1, 1), "SAME",
-                                    dimension_numbers=_DIMS,
-                                    preferred_element_type=x.dtype)
+# ---- parity-decomposed adjoints of conv3x3 ∘ upsample2_nearest ---------------
+#
+# The lax adjoint of this composition materializes the 4×-sized upsampled
+# tensors in BOTH gradients — dx is a full 3×3 transpose-conv at 2H×2W
+# followed by a 2×2 block-sum, dw correlates dy against up(x) — 144·BHW·ci·co
+# MACs each.  The same parity collapse that drives the forward kernel applies
+# to the adjoints (per spatial dim, with Cw the combined 2-tap weights):
+#   y[2m+p]  = Σ_a Cw[p,a] · x[m + p + a − 1]                      (forward)
+#   dx[m]    = Σ_{p,a} Cw[p,a]ᵀ · dy_p[m + 1 − p − a]              (adjoint x)
+#   dCw[p,a] = Σ_m x[m + p + a − 1] ⊗ dy_p[m]                      (adjoint w)
+# so dx is FOUR 2×2 convs over the dy parity planes (co→ci) and dw is
+# SIXTEEN [BHW,ci]×[BHW,co] matmuls plus a constant 4×3 tap recombine —
+# 32/144 of the lax-adjoint MACs each, with no upsampled intermediate in HBM.
+# Equivalence vs the jax.vjp of the lax composition is tested in
+# tests/test_pallas_conv.py.
+
+# adjoint of the per-dim combine map Cw[p,a] = Σ_k T[p,a,k] W[k]
+# (T rows: (0,0)→W0, (0,1)→W1+W2, (1,0)→W0+W1, (1,1)→W2)
+_UNCOMBINE = ((((1.0, 0.0, 0.0), (0.0, 1.0, 1.0)),
+               ((1.0, 1.0, 0.0), (0.0, 0.0, 1.0))))  # [p][a][k]
+
+
+def _parity_planes(g):
+    b, h2, w2, co = g.shape
+    return g.reshape(b, h2 // 2, 2, w2 // 2, 2, co)
+
+
+def _parity_dx(g, w, out_dtype):
+    """Adjoint w.r.t. x of conv3x3(up2(x)) for cotangent g [B,2H,2W,co]."""
+    wc = _combine_upconv_weights(w.astype(g.dtype))   # [py,px,a,b,ci,co]
+    gp = _parity_planes(g)
+    dx = None
+    for py in (0, 1):
+        for px in (0, 1):
+            gpp = gp[:, :, py, :, px, :]
+            # conv tap kh reads offset kh − py → kernel K[kh] = Cw[a=1−kh]ᵀ
+            k = jnp.swapaxes(wc[py, px, ::-1, ::-1], -1, -2)  # [kh,kw,co,ci]
+            part = lax.conv_general_dilated(
+                gpp, k, (1, 1), ((py, 1 - py), (px, 1 - px)),
+                dimension_numbers=_DIMS,
+                preferred_element_type=jnp.float32)
+            dx = part if dx is None else dx + part
+    return dx.astype(out_dtype)
+
+
+def _parity_dw(x, g, w_dtype):
+    """Adjoint w.r.t. w of conv3x3(up2(x)) for cotangent g [B,2H,2W,co]."""
+    gp = _parity_planes(g.astype(x.dtype))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h, wd = x.shape[1], x.shape[2]
+    dwc = []
+    for py in (0, 1):
+        for px in (0, 1):
+            gpp = gp[:, :, py, :, px, :]
+            for a in (0, 1):
+                sh = _UPCONV_TAPS[py][a]
+                for b2 in (0, 1):
+                    sw = _UPCONV_TAPS[px][b2]
+                    xs = xp[:, sh:sh + h, sw:sw + wd, :]
+                    dwc.append(jnp.einsum("bhwi,bhwo->io", xs, gpp,
+                                          preferred_element_type=jnp.float32))
+    ci, co = dwc[0].shape
+    dwc = jnp.stack(dwc).reshape(2, 2, 2, 2, ci, co)  # [py,px,a,b,ci,co]
+    t = jnp.asarray(_UNCOMBINE, jnp.float32)          # [p,a,k]
+    dw = jnp.einsum("pqabio,pak,qbl->klio", dwc, t, t)
+    return dw.astype(w_dtype)
 
 
 def _upconv_bwd(act, res, g):
-    """No-recompute backward (same scheme as `_deconv_bwd`): up+conv is
-    linear in (x, w) → adjoints from `jax.linear_transpose`; the epilogue
-    derivative is recovered from the saved output for the invertible
-    activations; tanh falls back to a recompute VJP."""
+    """No-recompute backward: the epilogue derivative is recovered from the
+    saved output for the invertible activations (tanh falls back to a
+    recompute VJP); the conv adjoints use the parity decomposition above."""
     x, w, scale, shift, y = res
     s32 = scale.astype(jnp.float32)
     t32 = shift.astype(jnp.float32)
@@ -548,14 +606,11 @@ def _upconv_bwd(act, res, g):
     d0 = jnp.where(g32 != 0, (pre - t32) / s32, 0.0)   # conv output
     d_conv = (g32 * s32).astype(x.dtype)
 
-    t_x = jax.linear_transpose(lambda x_: _raw_upconv(x_, w), x)
-    t_w = jax.linear_transpose(lambda w_: _raw_upconv(x, w_), w)
-    dx, = t_x(d_conv)
-    dw, = t_w(d_conv)
+    dx = _parity_dx(d_conv, w, x.dtype)
+    dw = _parity_dw(x, d_conv, w.dtype)
     ds = jnp.sum(g32 * d0, axis=(0, 1, 2)).astype(scale.dtype)
     dt = jnp.sum(g32, axis=(0, 1, 2)).astype(shift.dtype)
-    return (dx, dw.astype(w.dtype), ds.reshape(scale.shape),
-            dt.reshape(shift.shape))
+    return dx, dw, ds.reshape(scale.shape), dt.reshape(shift.shape)
 
 
 _upconv_op.defvjp(_upconv_fwd, _upconv_bwd)
@@ -580,12 +635,10 @@ def _upconv_bias_bwd(act, res, g):
     x, w, y = res
     g32 = g.astype(jnp.float32) * _act_grad_from_output(act, y)
     d_conv = g32.astype(x.dtype)
-    t_x = jax.linear_transpose(lambda x_: _raw_upconv(x_, w), x)
-    t_w = jax.linear_transpose(lambda w_: _raw_upconv(x, w_), w)
-    dx, = t_x(d_conv)
-    dw, = t_w(d_conv)
+    dx = _parity_dx(d_conv, w, x.dtype)
+    dw = _parity_dw(x, d_conv, w.dtype)
     db = jnp.sum(g32, axis=(0, 1, 2))
-    return dx, dw.astype(w.dtype), db
+    return dx, dw, db
 
 
 _upconv_bias_op.defvjp(_upconv_bias_fwd, _upconv_bias_bwd)

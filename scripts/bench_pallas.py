@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import contextlib
 import functools
 
 import jax
@@ -176,6 +177,102 @@ def bench_upconv(shapes, dtype=jnp.bfloat16):
     return rows
 
 
+def bench_upconv_grad(shapes, dtype=jnp.bfloat16):
+    """Fwd+bwd A/B of the fused up-block (the round-3 snapshot commit cut
+    the backward to parity-decomposed adjoints — 32/144 of the lax-adjoint
+    MACs, no upsampled intermediates in HBM; this measures that claim)."""
+    from text_to_image_tpu.ops.pallas import conv as pconv
+
+    rows = []
+    for (b, h, w, cin, co) in shapes:
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (b, h, w, cin), dtype)
+        wt = jax.random.normal(key, (3, 3, cin, co), jnp.float32)
+        s = jnp.ones((co,), jnp.float32)
+        t = jnp.zeros((co,), jnp.float32)
+
+        def fwd_bwd(op):
+            def loss(x, wt):
+                y = op(x, wt, s, t, "relu")
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+
+            def run(x, wt):
+                dx, dw = jax.grad(loss, argnums=(0, 1))(x, wt)
+                # single array out for the timing chain's data dependency
+                return dx + jnp.mean(dw).astype(dx.dtype)
+
+            return run
+
+        t_xla = timeit(jax.jit(fwd_bwd(pconv._lax_upconv)), x, wt)
+        t_pal = float("nan")
+        try:
+            t_pal = timeit(jax.jit(fwd_bwd(pconv._upconv_op)), x, wt)
+        except Exception as e:
+            print(f"  upconv grad pallas failed for {(b,h,w,cin,co)}: {e}",
+                  file=sys.stderr)
+        rows.append((f"upconv fwd+bwd B{b} {h}x{w}x{cin}->{co}", t_xla, t_pal,
+                     float("nan"),
+                     "PALLAS" if t_pal < t_xla * 0.98 else
+                     ("tie" if t_pal < t_xla * 1.02 else "XLA")))
+    return rows
+
+
+def bench_train_graph(which: str, batch=64):
+    """Full-train-step A/B on the up-block-heavy graphs (Stage-II 256px,
+    PGGAN stages 6/7): pallas off vs the training dispatch table vs the
+    wide (inference) table forced into the training trace.  This is the
+    measurement that decides `_upconv_wins`'s training branch."""
+    from text_to_image_tpu.config import (Config, CoeffConfig, DataConfig,
+                                          PgganConfig, TrainConfig)
+    from text_to_image_tpu.ops.pallas import fused
+    from text_to_image_tpu.train.steps import (_make_step_body,
+                                               init_train_state)
+    from text_to_image_tpu.utils import prng
+
+    if which == "stackgan_stage2":
+        cfg = Config(model="stackgan_stage2",
+                     train=TrainConfig(batch_size=batch, g_steps=1),
+                     data=DataConfig(dataset_name="synthetic", image_size=256),
+                     dtype="bfloat16")
+    else:
+        stage = int(which.removeprefix("pggan"))
+        cfg = Config(model="pggan",
+                     train=TrainConfig(batch_size=batch, n_critic=2, g_steps=1,
+                                       beta1=0.0,
+                                       coeff=CoeffConfig(drift_epsilon=1e-3)),
+                     data=DataConfig(dataset_name="synthetic", image_size=256),
+                     pggan=PgganConfig(stage=stage, start_step=0),
+                     dtype="bfloat16")
+    res = 256
+    k = cfg.train.n_critic
+    rng = np.random.default_rng(0)
+    batch_d = jax.device_put({
+        "real": rng.integers(0, 256, (k, batch, res, res, 3), dtype=np.uint8),
+        "wrong": rng.integers(0, 256, (k, batch, res, res, 3), dtype=np.uint8),
+        "emb": rng.normal(size=(k, batch, cfg.gan.embed_dim)).astype(np.float32),
+    })
+    body = _make_step_body(cfg.compute_key(), 100)
+    rows = []
+    for mode in ("off", "auto", "wide"):
+        step = jax.jit(lambda ts, b: body(ts, b), donate_argnums=0)
+        ctx = (fused.inference() if mode == "wide"
+               else contextlib.nullcontext())
+        with fused.use_pallas("off" if mode == "off" else "auto"), ctx:
+            ts = init_train_state(prng.base_key(0), cfg, 100)
+            for _ in range(5):
+                ts, m = step(ts, batch_d)
+            float(m["g_loss"])
+            t0 = time.perf_counter()
+            for _ in range(100):
+                ts, m = step(ts, batch_d)
+            float(m["g_loss"])
+        dt = (time.perf_counter() - t0) / 100 * 1e3
+        rows.append((f"{which} B{batch} train step, upconv dispatch={mode}",
+                     dt))
+        del ts
+    return rows
+
+
 def bench_eval_generator(batch=256):
     from text_to_image_tpu.config import GanConfig
     from text_to_image_tpu.models import gancls
@@ -252,15 +349,33 @@ if __name__ == "__main__":
     p.add_argument("--eval", action="store_true")
     p.add_argument("--upconv", action="store_true",
                    help="only the upsample+conv3x3 table (incl. halo shapes)")
+    p.add_argument("--grad", action="store_true",
+                   help="with --upconv: time fwd+bwd instead of forward-only")
+    p.add_argument("--train-graph", default=None,
+                   choices=("stackgan_stage2", "pggan6", "pggan7"),
+                   help="full-train-step A/B: off vs training table vs wide "
+                        "(inference) dispatch table")
     p.add_argument("--batch", type=int, default=64)
     args = p.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {len(jax.devices())}")
 
-    if args.train:
+    if args.train_graph:
+        for name, dt in bench_train_graph(args.train_graph, args.batch):
+            print(f"{name}: {dt:.3f} ms")
+    elif args.train:
         for name, dt in bench_train_step(args.batch):
             print(f"{name}: {dt:.3f} ms")
     elif args.eval:
         show(bench_eval_generator())
+    elif args.upconv and args.grad:
+        b = args.batch
+        show(bench_upconv_grad([
+            (b, 16, 16, 256, 128),
+            (b, 32, 32, 256, 128),   # PGGAN s4→5 up
+            (b, 64, 64, 128, 64),    # PGGAN s5→6 up / Stage-II up2
+            (b, 128, 128, 64, 32),   # PGGAN s6→7 up (256px)
+            (b, 64, 64, 512, 256),   # Stage-II 256px widest up-block
+        ]))
     elif args.upconv:
         b = args.batch
         show(bench_upconv([

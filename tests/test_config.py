@@ -59,6 +59,35 @@ def test_shipped_configs_load():
         assert cfg.model in MODEL_NAMES
 
 
+def test_shipped_wgan_configs_carry_drift_anchor():
+    """The round-3 natural-photo table measured the unanchored WGAN-CLS
+    recipe diverging on real pixels (critic margin 2368, r=0.746 FAIL) and
+    ε_drift=1e-3 fixing it (r=0.985 PASS) — BASELINE.md.  That FAIL row must
+    be unreachable from shipped configs: every WGAN-family config carries
+    the score anchor, and the wired loss actually contains the term."""
+    import os
+
+    import jax.numpy as jnp
+
+    from text_to_image_tpu.models import losses as LL
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in ("wgancls_flowers.yml", "pggan_flowers.yml",
+                 "pggan_flowers_256.yml"):
+        cfg = load_config(os.path.join(root, name))
+        co = cfg.train.coeff
+        assert co.drift_epsilon > 0, f"{name} ships the measured-FAIL recipe"
+        s = jnp.full((4,), 3.0, jnp.float32)
+        gp = jnp.float32(0.0)
+        anchored = LL.wgan_cls_d_loss(s, s, s, gp, co.mismatch_alpha,
+                                      co.gp_lambda, co.drift_epsilon)
+        plain = LL.wgan_cls_d_loss(s, s, s, gp, co.mismatch_alpha,
+                                   co.gp_lambda, 0.0)
+        # anchor adds eps * (E[real^2] + E[wrong^2]) = eps * 2 * 9
+        assert float(anchored["d_loss"] - plain["d_loss"]) == pytest.approx(
+            co.drift_epsilon * 18.0, rel=1e-5)
+
+
 def test_overrides():
     cfg = load_config.__wrapped__ if hasattr(load_config, "__wrapped__") else None
     from text_to_image_tpu.config import config_from_dict

@@ -251,12 +251,30 @@ def bench_train_graph(which: str, batch=64):
         "wrong": rng.integers(0, 256, (k, batch, res, res, 3), dtype=np.uint8),
         "emb": rng.normal(size=(k, batch, cfg.gan.embed_dim)).astype(np.float32),
     })
+    def targeted_wins(x_shape, co):
+        # fwd+bwd-informed training table (round-4 --grad microbench): only
+        # the shapes whose full fwd+bwd beat lax standalone — whole-image to
+        # 32x32 with cin >= 256 (16x16x256->128 -20%, 32x32x256->128 -11%)
+        # and the halo kernel for wide-channel large maps (64x64x512->256
+        # -30%); the measured fwd+bwd losers (64x64x128->64 +70%,
+        # 128x128x64->32 +87%) stay on lax
+        b, h, w, cin = x_shape
+        if h * w <= 1024:
+            return cin >= 256 and cin % 128 == 0 and co % 128 == 0
+        return cin >= 512 and cin % 128 == 0 and co % 128 == 0
+
     body = _make_step_body(cfg.compute_key(), 100)
     rows = []
-    for mode in ("off", "auto", "wide"):
+    for mode in ("off", "auto", "wide", "targeted"):
         step = jax.jit(lambda ts, b: body(ts, b), donate_argnums=0)
-        ctx = (fused.inference() if mode == "wide"
-               else contextlib.nullcontext())
+        if mode == "wide":
+            ctx = fused.inference()
+        elif mode == "targeted":
+            import unittest.mock
+            ctx = unittest.mock.patch.object(fused, "_upconv_wins",
+                                             targeted_wins)
+        else:
+            ctx = contextlib.nullcontext()
         with fused.use_pallas("off" if mode == "off" else "auto"), ctx:
             ts = init_train_state(prng.base_key(0), cfg, 100)
             for _ in range(5):

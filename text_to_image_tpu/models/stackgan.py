@@ -61,19 +61,24 @@ def _up_block_init(key, c_in: int, c_out: int) -> Tuple[Dict, Dict]:
 
 def _up_block(p: Dict, s: Dict, x: jax.Array, train: bool
               ) -> Tuple[jax.Array, Dict]:
-    # Deliberately NOT the fused Pallas upconv3x3 kernel here — a twice-
-    # measured negative verdict (BASELINE.md).  Round 2, small maps: XLA's
-    # joint fwd+bwd conv fusion wins the stage-1 training graph (G fwd+bwd
-    # 3.11 ms XLA vs 3.44 ms kernel) despite the kernel winning the conv in
-    # isolation.  Round 3, large maps: the halo-tiled kernel wins the
-    # 64×64×128→64 up-block standalone by −45%, but wiring it here made the
-    # full Stage-II 256px train step 10% SLOWER (132.4 vs 120.3 ms/step,
-    # batch 64) — the custom-VJP boundary breaks XLA's conv+BN-stats fusion
-    # and the lax-composed backward loses what the forward saves.  The
-    # kernel dispatches where it wins end-to-end: the BN-free PGGAN
-    # up-blocks (models/pggan.py).
-    x = L.upsample_nearest(x, 2)
-    x = L.conv2d(p["conv"], x, stride=1)
+    # Routes through the fused upconv3x3 dispatch with bn_follows=True: a
+    # train-mode BatchNorm consumes the raw conv output here, and round-4
+    # A/Bs show kernels in that position lose END-TO-END even though the
+    # parity-adjoint backward wins every deep shape STANDALONE fwd+bwd
+    # (16×16×256→128 −20%, 64×64×512→256 −30%): the custom-VJP boundary
+    # breaks XLA's joint conv+BN-stats fusion — Stage-II 256px step: lax
+    # 117.0 ms < route-16×16 119.2 < +32×32 122.3 < wide 136.2 (BASELINE.md
+    # round-4 table; a three-times-measured negative, now encoded per-shape
+    # in fused._upconv_wins instead of hardwired here).  Inference traces
+    # (fused.inference(): sampler/eval) take the kernel's measured forward
+    # wins directly.
+    from text_to_image_tpu.ops.pallas import conv as pconv, fused
+    w = p["conv"]["w"]
+    if fused.use_upconv(x.shape, w.shape[-1], bn_follows=True):
+        x = pconv.upconv3x3_bias(x, w, p["conv"]["b"], "none")
+    else:
+        x = L.upsample_nearest(x, 2)
+        x = L.conv2d(p["conv"], x, stride=1)
     x, bn_s = L.batch_norm_act(p["bn"], s["bn"], x, train)
     return x, {"bn": bn_s}
 

@@ -129,20 +129,33 @@ def use_bn_act() -> bool:
     return pallas_enabled()
 
 
-def _upconv_wins(x_shape, co: int) -> bool:
+def _upconv_wins(x_shape, co: int, bn_follows: bool = False) -> bool:
     """Shapes where the fused upsample+conv3x3 beats XLA on v5e (BASELINE.md
-    round-2/3 tables).  TRAINING graphs: only the deep ≤16×16 layers win
-    (−17…−20%); every larger map measured SLOWER end-to-end despite winning
-    standalone, because the custom-VJP boundary breaks XLA's joint fwd+bwd
-    fusion (Stage-II 256px +10%, PGGAN stage 6 +11%, stage 7 +2.4%).
-    INFERENCE (forward-only) traces get the wider table where the standalone
-    forward wins apply directly: whole-image blocks to 32×32 (−10…−31%) and
-    the halo-tiled row kernel for ≥64×64 maps whose channels need no lane
-    padding (−45% at 64×64×128→64, −47% at 64×64×512→256); XLA keeps
-    thin-channel large maps (padding doubles the MACs: +37% at
+    round-2/3/4 tables).
+
+    TRAINING graphs split on what CONSUMES the conv output (round-4 A/Bs
+    with the parity-adjoint backward):
+
+    * ``bn_follows=True`` (StackGAN up-blocks — a train-mode BatchNorm reads
+      the raw conv output): ALWAYS lax.  The custom-VJP boundary breaks
+      XLA's joint conv+BN-stats fusion and costs more than the kernel saves
+      even though the kernel now wins every deep shape standalone fwd+bwd
+      (Stage-II 256px end-to-end: off 117.0 ms < auto 119.2 < targeted
+      122.3 < wide 136.2).
+    * BN-free (PGGAN: activation fused into the kernel): the deep ≤16×16
+      layers (round-2 win, round-4 tie-or-better; stage 6/7 auto vs off
+      within +1%).
+
+    INFERENCE (forward-only) traces get the wider table where the
+    standalone forward wins apply directly: whole-image blocks to 32×32
+    (−10…−31%) and the halo-tiled row kernel for ≥64×64 maps whose channels
+    need no lane padding (−45% at 64×64×128→64, −47% at 64×64×512→256); XLA
+    keeps thin-channel large maps (padding doubles the MACs: +37% at
     128×128×64→32)."""
     b, h, w, cin = x_shape
     if _TRAINING.get():
+        if bn_follows:
+            return False
         return h * w <= 256 and cin % 128 == 0 and co % 128 == 0
     if h * w <= 1024:
         # 32×32×128→128 measured a tie (0.600 vs 0.597 ms) — XLA keeps it;
@@ -152,13 +165,13 @@ def _upconv_wins(x_shape, co: int) -> bool:
     return cin % 128 == 0 and co % 64 == 0
 
 
-def use_upconv(x_shape, co: int) -> bool:
+def use_upconv(x_shape, co: int, bn_follows: bool = False) -> bool:
     """Dispatch predicate for the generator upsample+conv up-block kernel."""
     if jax.default_backend() != "tpu":
         return False
     mode = _MODE.get()
     if mode == "auto":
-        return _upconv_wins(x_shape, co)
+        return _upconv_wins(x_shape, co, bn_follows)
     return mode == "on"
 
 

@@ -19,7 +19,9 @@ natural run is the offline natural-image convergence evidence (round-2
 VERDICT missing #2).
 
 Run: python scripts/convergence_check.py [steps] [gancls|pggan|wgancls]
-     [synthetic|natural] [grid.png]
+     [synthetic|natural|natural16] [grid.png]
+(natural16 = the 16-class / 11-source-image set with roaming texture
+classes, data/natural.py ANCHORS16 — round-4 diversity push)
 (the split is staged in HBM once and every batch — index draw, crop, flip,
 caption window, wrong pair — is assembled inside the compiled step, the
 framework's default device-resident path; nothing crosses the tunnel
@@ -39,7 +41,7 @@ import jax.numpy as jnp
 
 from text_to_image_tpu.config import Config, DataConfig, TrainConfig
 from text_to_image_tpu.data.synthetic import SyntheticDataset
-from text_to_image_tpu.eval.sampler import make_generator_fn
+from text_to_image_tpu.eval.sampler import eval_g_params, make_generator_fn
 from text_to_image_tpu.models.registry import get_model
 from text_to_image_tpu.ops import layers as L
 from text_to_image_tpu.train.steps import init_train_state
@@ -56,8 +58,8 @@ def _config(model: str, dataset: str = "synthetic") -> Config:
         # synthetic task converges without it (r=0.988), so the anchor is
         # gated on the dataset to keep the paper recipe where it suffices.
         from text_to_image_tpu.config import CoeffConfig
-        coeff = (CoeffConfig(drift_epsilon=1e-3) if dataset == "natural"
-                 else CoeffConfig())
+        coeff = (CoeffConfig(drift_epsilon=1e-3)
+                 if dataset.startswith("natural") else CoeffConfig())
         train = TrainConfig(batch_size=64, n_critic=5, g_steps=1,
                             generator_lr=1e-4, discriminator_lr=1e-4,
                             beta1=0.0, beta2=0.9, coeff=coeff)
@@ -91,13 +93,16 @@ def _config(model: str, dataset: str = "synthetic") -> Config:
 def main(steps: int = 3000, model: str = "gancls",
          dataset: str = "synthetic", grid_path: str = "") -> int:
     cfg = _config(model, dataset)
-    if dataset == "natural":
-        from text_to_image_tpu.data.natural import NaturalPhotoDataset
-        ds = NaturalPhotoDataset(examples_per_class=64, image_size=64,
-                                 embed_dim=1024, seed=0)
+    if dataset.startswith("natural"):
+        from text_to_image_tpu.data.natural import (ANCHORS, ANCHORS16,
+                                                    NaturalPhotoDataset)
+        ds = NaturalPhotoDataset(
+            examples_per_class=64, image_size=64, embed_dim=1024, seed=0,
+            anchors=(ANCHORS16 if dataset == "natural16" else ANCHORS))
     else:
         ds = SyntheticDataset(num_examples=512, image_size=64,
                               embed_dim=1024, num_classes=8, seed=0)
+    n_cls = ds.num_classes
     ts = init_train_state(prng.base_key(0), cfg, steps_per_epoch=8)
     from text_to_image_tpu.data import device as DD
     from text_to_image_tpu.train.steps import make_resident_step
@@ -136,23 +141,26 @@ def main(steps: int = 3000, model: str = "gancls",
     print("training done; evaluating (classifier finetune + IS)...",
           flush=True)
     gen = make_generator_fn(cfg)
-    q = evaluate(gen, ts, cfg, ds, num_classes=8, num_images=1280)
+    q = evaluate(gen, ts, cfg, ds, num_classes=n_cls, num_images=1280)
 
     if grid_path:
         from text_to_image_tpu.utils.images import save_images
-        z = jax.random.normal(jax.random.PRNGKey(7), (64, cfg.gan.z_dim))
-        embs8 = np.stack([ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
-                          for c in range(8)])
-        embs = jnp.asarray(np.repeat(embs8, 8, axis=0))  # class-major rows
+        z = jax.random.normal(jax.random.PRNGKey(7),
+                              (8 * n_cls, cfg.gan.z_dim))
+        embs_c = np.stack([ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
+                           for c in range(n_cls)])
+        embs = jnp.asarray(np.repeat(embs_c, 8, axis=0))  # class-major rows
         imgs = np.asarray(jax.device_get(gen(
-            ts.g_params, ts.g_state, ts.aux, z, embs, jax.random.PRNGKey(8))))
-        save_images(imgs, grid_path, (8, 8))
+            eval_g_params(ts), ts.g_state, ts.aux, z, embs,
+            jax.random.PRNGKey(8))))
+        save_images(imgs, grid_path, (n_cls, 8))
         print(f"sample grid (one class per row): {grid_path}")
 
     print(f"D matched-vs-mismatched margin: {margin:.2f} (want > 1)")
     print(f"fixed-z class-color correlation: r={q['r']:.3f} (want > 0.9)")
     print(f"classifier acc={q['clf_acc']:.2f}; "
-          f"IS: {q['is_mean']:.2f} ± {q['is_std']:.2f} (max 8, want > 4)")
+          f"IS: {q['is_mean']:.2f} ± {q['is_std']:.2f} "
+          f"(max {n_cls}, want > 4)")
     ok = margin > 1.0 and q["r"] > 0.9 and q["is_mean"] > 4.0
     print("CONVERGENCE PASS" if ok else "CONVERGENCE FAIL")
     return 0 if ok else 1

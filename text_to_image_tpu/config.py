@@ -63,13 +63,18 @@ class TrainConfig:
     snapshot_interval: int = 500   # steps between checkpoints
     sample_interval: int = 200     # steps between sample grids
     summary_interval: int = 20     # steps between metric writes
+    ema_decay: float = 0.0         # generator weight EMA for eval (Karras
+    # PGGAN recipe; 0 = off, typical 0.999).  Training always uses the live
+    # params; samplers/evaluators read aux['ema_g_params'] when present
+    # (eval/sampler.py::eval_g_params)
     coeff: CoeffConfig = field(default_factory=CoeffConfig)
 
 
 @dataclass(frozen=True)
 class DataConfig:
     dataset_name: str = "flowers"  # DATASET_NAME: flowers | birds |
-    # synthetic | natural (offline real-photo crops, data/natural.py)
+    # synthetic | natural | natural16 (offline real-photo crops,
+    # data/natural.py; natural16 = 16 classes from 11 source images)
     data_dir: str = "data/flowers"
     embedding_type: str = "cnn-rnn"  # EMBEDDING_TYPE
     image_size: int = 64           # training resolution of this stage
@@ -79,8 +84,12 @@ class DataConfig:
     workers: int = 2               # host pipeline worker threads
     prefetch: int = 2              # batches kept in flight to HBM
     device_resident: str = "auto"  # keep the split in HBM and assemble
-    # batches inside the compiled step (data/device.py): "on"/"off", or
-    # "auto" = resident when the split fits resident_budget_mb per chip
+    # batches inside the compiled step (data/device.py): "on" (replicated
+    # per device), "sharded" (example dim sharded over the batch axes —
+    # covers datasets up to D× the per-chip budget, each device sampling
+    # its own shard), "off", or "auto" = replicated when the split fits
+    # resident_budget_mb per chip, sharded when it fits in aggregate,
+    # else the host pipeline
     resident_budget_mb: int = 4096  # auto-mode HBM budget for the split
 
 

@@ -10,13 +10,20 @@ installed packages:
 
 * sklearn ``china.jpg``   (427x640 — pagoda, roof tiles, foliage, lake),
 * sklearn ``flower.jpg``  (427x640 — dahlia close-up, bokeh background),
-* matplotlib ``grace_hopper.jpg`` (600x512 — portrait, flag stripes).
+* matplotlib ``grace_hopper.jpg`` (600x512 — portrait, flag stripes),
 
-Eight visually distinct texture regions of those photos become eight
-classes; each example is a jittered, scale-perturbed crop of its region
-resized to ``source_size`` (default 76 px, so the standard 76 -> 64 random
-crop / flip of the training pipeline applies real augmentation, matching
-the reference's TextDataset geometry — SURVEY.md §2 dataset-loader row).
+plus (round 4, ``ANCHORS16``) eight real photographic textures bundled with
+gymnasium_robotics / dm_control assets: wood grain, skin, kitchen tile,
+crumpled foil, grass, cumulus sky, veined marble, brushed metal — eleven
+distinct source images in total.
+
+Visually distinct texture regions of those photos become classes; each
+example is a jittered, scale-perturbed crop of its region (anchored
+classes) or a randomly positioned, rotated crop of the whole texture
+(roaming classes) resized to ``source_size`` (default 76 px, so the
+standard 76 -> 64 random crop / flip of the training pipeline applies real
+augmentation, matching the reference's TextDataset geometry — SURVEY.md §2
+dataset-loader row).
 Embeddings follow the reference's data model (precomputed per-caption
 vectors, class-clustered): centroid + per-caption noise, as the e2e demo's
 fake char-CNN-RNN embeddings do.
@@ -50,10 +57,55 @@ ANCHORS: Tuple[Tuple[str, int, int, int], ...] = (
     ("hopper", 40, 0, 180),     # flag stripes
 )
 
+# Roaming texture classes (round 4, VERDICT #7): each draws crops at RANDOM
+# positions over the WHOLE source texture, with a wider 0.7-1.3x scale range
+# and a random 90-degree-multiple rotation, so intra-class layout diversity
+# is much higher than the jittered fixed-region ANCHORS above.  top/left are
+# the ROAM sentinel (-1); box sets the nominal crop side.  Sources are real
+# photographic textures bundled with installed packages (gymnasium_robotics
+# kitchen/adroit assets, dm_control outdoor arena), inspected 2026-08-19.
+ROAM = -1
+ANCHORS16: Tuple[Tuple[str, int, int, int], ...] = ANCHORS + (
+    ("wood1", ROAM, ROAM, 360),    # oiled wood grain, knots
+    ("skin", ROAM, ROAM, 360),     # skin close-up, pores
+    ("tile1", ROAM, ROAM, 220),    # glazed kitchen tile, grout lines
+    ("foil", ROAM, ROAM, 220),     # crumpled foil, specular facets
+    ("grass", ROAM, ROAM, 220),    # grass lawn, blade clutter
+    ("sky", ROAM, ROAM, 500),      # cumulus clouds over blue sky
+    ("marble2", ROAM, ROAM, 360),  # white marble, grey veins
+    ("silver", ROAM, ROAM, 220),   # raw brushed metal
+)
+
+# source key -> (python package that bundles it, path inside the package).
+# Resolved via importlib.util.find_spec so heavyweight packages (dm_control)
+# are never imported.
+_PKG_TEXTURES = {
+    "wood1": ("gymnasium_robotics",
+              "envs/assets/kitchen_franka/kitchen_assets/textures/wood1.png"),
+    "skin": ("gymnasium_robotics",
+             "envs/assets/adroit_hand/resources/textures/skin.png"),
+    "tile1": ("gymnasium_robotics",
+              "envs/assets/kitchen_franka/kitchen_assets/textures/tile1.png"),
+    "foil": ("gymnasium_robotics",
+             "envs/assets/adroit_hand/resources/textures/foil.png"),
+    "grass": ("dm_control",
+              "locomotion/arenas/assets/outdoor_natural/"
+              "OutdoorGrassFloorD.png"),
+    "sky": ("dm_control",
+            "locomotion/arenas/assets/outdoor_natural/"
+            "OutdoorSkybox2048.png"),
+    "marble2": ("gymnasium_robotics",
+                "envs/assets/kitchen_franka/kitchen_assets/textures/"
+                "white_marble_tile2.png"),
+    "silver": ("gymnasium_robotics",
+               "envs/assets/adroit_hand/resources/textures/silverRaw.png"),
+}
+
 
 def photo_paths() -> dict:
-    """Locate the bundled photographs; raises ImportError/FileNotFoundError
-    when a providing package is absent (callers/tests gate on this)."""
+    """Locate the three bundled photographs; raises ImportError/
+    FileNotFoundError when a providing package is absent (callers/tests gate
+    on this)."""
     import sklearn.datasets
     import matplotlib
     skl = os.path.join(os.path.dirname(sklearn.datasets.__file__), "images")
@@ -69,18 +121,41 @@ def photo_paths() -> dict:
     return paths
 
 
-def available() -> bool:
+def source_paths(keys: Sequence[str]) -> dict:
+    """Locate the source images for `keys` (photo + package-texture keys)
+    without importing heavyweight asset packages."""
+    import importlib.util
+    out = {}
+    photos = None
+    for k in dict.fromkeys(keys):
+        if k in _PKG_TEXTURES:
+            pkg, rel = _PKG_TEXTURES[k]
+            spec = importlib.util.find_spec(pkg)
+            if spec is None or not spec.submodule_search_locations:
+                raise ImportError(pkg)
+            p = os.path.join(list(spec.submodule_search_locations)[0], rel)
+            if not os.path.isfile(p):
+                raise FileNotFoundError(p)
+            out[k] = p
+        else:
+            if photos is None:
+                photos = photo_paths()
+            out[k] = photos[k]
+    return out
+
+
+def available(anchors: Sequence = ANCHORS) -> bool:
     try:
-        photo_paths()
+        source_paths([a[0] for a in anchors])
         return True
     except Exception:
         return False
 
 
-def _load_photos() -> dict:
+def _load_photos(keys: Sequence[str]) -> dict:
     from PIL import Image
     return {k: np.asarray(Image.open(p).convert("RGB"))
-            for k, p in photo_paths().items()}
+            for k, p in source_paths(keys).items()}
 
 
 def render_class_crops(rng: np.random.Generator, photo: np.ndarray,
@@ -88,27 +163,42 @@ def render_class_crops(rng: np.random.Generator, photo: np.ndarray,
                        out_size: int) -> np.ndarray:
     """n jittered crops of one anchor region, resized to out_size.
 
-    Jitter: +-12% of box translation, 0.85-1.15x scale — enough that no two
-    examples are pixel-identical while every crop stays on the region's
-    texture.  Returns [n, out_size, out_size, 3] uint8."""
+    Anchored regions (top/left >= 0): +-12% of box translation, 0.85-1.15x
+    scale — enough that no two examples are pixel-identical while every crop
+    stays on the region's texture.  Roaming classes (top = ROAM): random
+    position over the WHOLE image, 0.7-1.3x scale, and a random 90-degree-
+    multiple rotation — far higher intra-class layout diversity for
+    homogeneous textures.  Returns [n, out_size, out_size, 3] uint8."""
     from PIL import Image
     h, w = photo.shape[:2]
+    roam = top < 0
     out = np.empty((n, out_size, out_size, 3), np.uint8)
     for i in range(n):
-        s = int(round(box * rng.uniform(0.85, 1.15)))
-        jt = int(round(box * rng.uniform(-0.12, 0.12)))
-        jl = int(round(box * rng.uniform(-0.12, 0.12)))
-        t = int(np.clip(top + jt, 0, max(0, h - s)))
-        l = int(np.clip(left + jl, 0, max(0, w - s)))
-        s = min(s, h - t, w - l)
-        crop = Image.fromarray(photo[t:t + s, l:l + s])
+        if roam:
+            s = int(round(box * rng.uniform(0.7, 1.3)))
+            s = max(16, min(s, h, w))
+            t = int(rng.integers(0, h - s + 1))
+            l = int(rng.integers(0, w - s + 1))
+        else:
+            s = int(round(box * rng.uniform(0.85, 1.15)))
+            jt = int(round(box * rng.uniform(-0.12, 0.12)))
+            jl = int(round(box * rng.uniform(-0.12, 0.12)))
+            t = int(np.clip(top + jt, 0, max(0, h - s)))
+            l = int(np.clip(left + jl, 0, max(0, w - s)))
+            s = min(s, h - t, w - l)
+        patch = photo[t:t + s, l:l + s]
+        if roam:
+            patch = np.rot90(patch, k=int(rng.integers(0, 4)))
+        crop = Image.fromarray(np.ascontiguousarray(patch))
         out[i] = np.asarray(
             crop.resize((out_size, out_size), Image.BILINEAR))
     return out
 
 
 class NaturalPhotoDataset(SyntheticDataset):
-    """Eight texture classes of real-photograph crops, TextDataset-shaped.
+    """Texture classes of real-photograph crops, TextDataset-shaped (eight
+    anchored-region classes by default; pass ``anchors=ANCHORS16`` for the
+    16-class / 11-source-image set with roaming high-diversity classes).
 
     Follows TextDataset's size convention exactly (data/textdataset.py
     CROP_SOURCE): ``self.images`` holds uint8 **source-size** crops
@@ -134,7 +224,7 @@ class NaturalPhotoDataset(SyntheticDataset):
         self.random_flip = random_flip
         source_size = source_size or (image_size * 19) // 16
         rng = np.random.default_rng(seed)
-        photos = _load_photos()
+        photos = _load_photos([a[0] for a in anchors])
 
         n_classes = len(anchors)
         chunks: List[np.ndarray] = []

@@ -7,9 +7,11 @@ and reports 256 px quality (synthetic IS + fixed-z class-color correlation)
 plus a sample grid.
 
 Run: python scripts/pggan_progression.py [steps_per_stage] [image_size]
-     [synthetic|natural]
-     python scripts/pggan_progression.py --resume [steps_per_stage]
-     [image_size] [synthetic|natural]
+     [synthetic|natural|natural16] [--ema[=0.999]] [--resume]
+
+``--ema`` trains with a generator weight EMA (Karras eval recipe,
+train.ema_decay) and reports BOTH the EMA-params and live-params IS from
+the same trained state — the A/B costs one extra eval, not a second run.
 
 A ``natural`` third arg points the same recipe at data/natural.py (real
 photograph texture crops, 304 px source for a 256 px run) — the
@@ -49,7 +51,7 @@ ROOT = "runs/pggan256"
 
 
 def _cfg(steps_per_stage: int, image_size: int, root: str,
-         dataset: str = "synthetic") -> Config:
+         dataset: str = "synthetic", ema_decay: float = 0.0) -> Config:
     # the shipped configs/pggan_flowers_256.yml recipe, pointed at the
     # synthetic dataset (no network/datasets in this environment)
     return Config(
@@ -58,7 +60,7 @@ def _cfg(steps_per_stage: int, image_size: int, root: str,
         train=TrainConfig(batch_size=32, n_critic=2, g_steps=1, beta1=0.0,
                           beta2=0.9, lr_decay_epoch=10**9,
                           summary_interval=100, sample_interval=10**9,
-                          snapshot_interval=10**9,
+                          snapshot_interval=10**9, ema_decay=ema_decay,
                           coeff=CoeffConfig(gp_lambda=10.0,
                                             drift_epsilon=1e-3)),
         data=DataConfig(dataset_name=dataset, image_size=image_size),
@@ -73,10 +75,10 @@ def _cfg(steps_per_stage: int, image_size: int, root: str,
 
 def main(steps_per_stage: int = 3000, image_size: int = 256,
          root: str = ROOT, resume: bool = False,
-         dataset: str = "synthetic") -> int:
+         dataset: str = "synthetic", ema_decay: float = 0.0) -> int:
     if not resume:
         shutil.rmtree(root, ignore_errors=True)
-    cfg = _cfg(steps_per_stage, image_size, root, dataset)
+    cfg = _cfg(steps_per_stage, image_size, root, dataset, ema_decay)
     n = PG.num_stages(image_size)
     run_dir = os.path.join(cfg.checkpoint_dir, "pggan", dataset)
 
@@ -99,6 +101,18 @@ def main(steps_per_stage: int = 3000, image_size: int = 256,
     gen = make_generator_fn(final)
     q = evaluate(gen, ts, final, ds)
     print(f"[pggan {image_size}px] {q}", flush=True)
+    if ema_decay > 0:
+        # A/B from the SAME trained state: eval with the live params too
+        # (evaluate() reads aux['ema_g_params'] when present — strip it)
+        ts_live = ts.replace(aux={k: v for k, v in ts.aux.items()
+                                  if k != "ema_g_params"})
+        q_live = evaluate(gen, ts_live, final, ds)
+        print(f"[pggan {image_size}px] LIVE-params eval (EMA off): {q_live}",
+              flush=True)
+        print(f"[pggan] EMA(decay={ema_decay}) IS delta: "
+              f"{q['is_mean'] - q_live['is_mean']:+.2f} "
+              f"(EMA {q['is_mean']:.2f} vs live {q_live['is_mean']:.2f})",
+              flush=True)
 
     grid = sample_grid(gen, ts, final,
                        ds.test_embeddings(32).astype("float32"),
@@ -114,9 +128,17 @@ def main(steps_per_stage: int = 3000, image_size: int = 256,
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--resume"]
-    resume = "--resume" in sys.argv[1:]
+    ema = 0.0
+    argv = []
+    resume = False
+    for a in sys.argv[1:]:
+        if a == "--resume":
+            resume = True
+        elif a.startswith("--ema"):
+            ema = float(a.split("=", 1)[1]) if "=" in a else 0.999
+        else:
+            argv.append(a)
     sps = int(argv[0]) if len(argv) > 0 else 3000
     res = int(argv[1]) if len(argv) > 1 else 256
     dset = argv[2] if len(argv) > 2 else "synthetic"
-    sys.exit(main(sps, res, resume=resume, dataset=dset))
+    sys.exit(main(sps, res, resume=resume, dataset=dset, ema_decay=ema))

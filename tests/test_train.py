@@ -147,3 +147,40 @@ def test_compute_key_shares_compiled_steps():
     assert make_train_step(a) is not make_train_step(base.replace(seed=7))
     assert make_train_step(a) is not make_train_step(
         base.replace(use_pallas="on"))
+
+
+def test_ema_tracks_generator_and_serves_eval():
+    """train.ema_decay > 0 maintains aux['ema_g_params'] as an exact lerp of
+    the live generator params (Karras eval-EMA recipe) and eval_g_params
+    routes samplers/evaluators to it; decay 0 keeps the state EMA-free."""
+    from text_to_image_tpu.eval.sampler import eval_g_params
+
+    decay = 0.5  # large 1-decay so the lerp is visible in 2 steps
+    cfg = tiny_config("gancls", ema_decay=decay)
+    ts = init_train_state(prng.base_key(0), cfg)
+    assert "ema_g_params" in ts.aux
+    # at init the EMA IS the init params
+    for e, p in zip(jax.tree.leaves(ts.aux["ema_g_params"]),
+                    jax.tree.leaves(ts.g_params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    step = make_train_step(cfg)
+    ema = jax.device_get(ts.aux["ema_g_params"])
+    for i in range(2):
+        ts, _ = step(ts, make_batch(cfg, seed=i))
+        live = jax.device_get(ts.g_params)
+        ema = jax.tree.map(lambda e, p: e + (1 - decay) * (p - e), ema, live)
+        got = jax.device_get(ts.aux["ema_g_params"])
+        for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(got)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    # EMA must lag the live params (it is the eval average, not a copy) ...
+    assert _leaf_changed(ts.aux["ema_g_params"], ts.g_params)
+    # ... and eval_g_params serves it
+    assert eval_g_params(ts) is ts.aux["ema_g_params"]
+
+    # decay 0 (default) → no EMA state, eval uses live params
+    cfg0 = tiny_config("gancls")
+    ts0 = init_train_state(prng.base_key(0), cfg0)
+    assert "ema_g_params" not in ts0.aux
+    assert eval_g_params(ts0) is ts0.g_params

@@ -59,9 +59,16 @@ def _make_generator_fn(cfg: Config, train_mode: bool) -> Callable:
     return gen
 
 
+def eval_g_params(ts: "TrainState"):
+    """Generator params for eval/sampling: the EMA weight average when the
+    trainer maintains one (train.ema_decay > 0 — Karras PGGAN recipe), else
+    the live params."""
+    return ts.aux.get("ema_g_params", ts.g_params)
+
+
 def _run(gen, ts: "TrainState", z, emb, key) -> np.ndarray:
     return np.asarray(jax.device_get(
-        gen(ts.g_params, ts.g_state, ts.aux, jnp.asarray(z),
+        gen(eval_g_params(ts), ts.g_state, ts.aux, jnp.asarray(z),
             jnp.asarray(emb), key)))
 
 

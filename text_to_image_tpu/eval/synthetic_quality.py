@@ -22,6 +22,7 @@ import numpy as np
 from text_to_image_tpu.eval.classifier import (make_classifier_fn,
                                                train_classifier)
 from text_to_image_tpu.eval.inception import compute_inception_score
+from text_to_image_tpu.eval.sampler import eval_g_params
 
 
 def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
@@ -34,7 +35,8 @@ def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
         [ds.embeddings[np.where(ds.class_ids == c)[0][0], 0]
          for c in range(num_classes)]))
     imgs = np.asarray(jax.device_get(
-        gen(ts.g_params, ts.g_state, ts.aux, z0, embs, jax.random.PRNGKey(1))))
+        gen(eval_g_params(ts), ts.g_state, ts.aux, z0, embs,
+        jax.random.PRNGKey(1))))
     gen_colors = ((imgs + 1) / 2).mean(axis=(1, 2))
     real_colors = np.stack(
         [(ds.images[ds.class_ids == c].astype(np.float32) / 255
@@ -52,7 +54,7 @@ def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
     clf_params, acc = train_classifier(clf_images, ds.class_ids, num_classes,
                                        steps=300)
     is_mean, is_std = compute_inception_score(
-        lambda z, e, kk: gen(ts.g_params, ts.g_state, ts.aux, z, e, kk),
+        lambda z, e, kk: gen(eval_g_params(ts), ts.g_state, ts.aux, z, e, kk),
         make_classifier_fn(clf_params),
         ds.test_embeddings().astype(np.float32),
         num_images=num_images, batch_size=64, z_dim=cfg.gan.z_dim)

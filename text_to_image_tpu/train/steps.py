@@ -56,6 +56,8 @@ def _init_builder(cfg: Config, steps_per_epoch: int):
         kinit, ks1 = jax.random.split(key)
         g_params, g_state, d_params, d_state = bundle.init(kinit)
         aux: Dict[str, Any] = {}
+        if cfg.train.ema_decay > 0:
+            aux["ema_g_params"] = g_params
         if bundle.needs_stage1:
             if stage1_in is None:
                 from text_to_image_tpu.models import stackgan
@@ -236,10 +238,20 @@ def _make_step_body(cfg: Config, steps_per_epoch: int):
             updates, g_opt = g_tx.update(grads, g_opt, g_params)
             g_params = optax.apply_updates(g_params, updates)
 
+        new_aux = ts.aux
+        if tcfg.ema_decay > 0:
+            # Karras-style generator weight average for eval: one lerp per
+            # step in f32; training always uses the live params (the EMA
+            # copy is read only by eval_g_params at sample/eval time)
+            ema = jax.tree.map(
+                lambda e, p: e + (1.0 - tcfg.ema_decay) * (p - e),
+                ts.aux["ema_g_params"], g_params)
+            new_aux = {**ts.aux, "ema_g_params": ema}
+
         new_ts = ts.replace(
             g_params=g_params, g_state=g_state, g_opt=g_opt,
             d_params=d_params, d_state=d_state, d_opt=d_opt,
-            step=ts.step + 1)
+            step=ts.step + 1, aux=new_aux)
         return new_ts, {**d_metrics, **g_metrics}
 
     return _step_body
@@ -287,10 +299,18 @@ def _make_resident_step(cfg: Config, steps_per_epoch: int, env):
     def _resident_body(ts: TrainState, data):
         key = prng.step_key(prng.base_key(seed), ts.step)
         # fold_in(key, 2): 0 and 1 are the body's critic/generator streams
-        batch = DD.sample_stacked(
-            data, jax.random.fold_in(key, 2), tcfg.n_critic,
-            tcfg.batch_size, dcfg.image_size, dcfg.caption_window,
-            dcfg.random_crop, dcfg.random_flip, env)
+        if isinstance(data, DD.ShardedDeviceData):
+            # sharded-resident middle tier: each device draws its slice of
+            # the batch from its own shard (jit specializes on pytree type)
+            batch = DD.sample_stacked_sharded(
+                data, jax.random.fold_in(key, 2), tcfg.n_critic,
+                tcfg.batch_size, dcfg.image_size, dcfg.caption_window,
+                dcfg.random_crop, dcfg.random_flip, env)
+        else:
+            batch = DD.sample_stacked(
+                data, jax.random.fold_in(key, 2), tcfg.n_critic,
+                tcfg.batch_size, dcfg.image_size, dcfg.caption_window,
+                dcfg.random_crop, dcfg.random_flip, env)
         return body(ts, batch)
 
     def step(ts: TrainState, data):

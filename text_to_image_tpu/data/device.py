@@ -171,3 +171,114 @@ def sample_stacked(data: DeviceData, key: jax.Array, n_critic: int,
     if env is not None and env.mesh.devices.size > 1:
         batch = jax.lax.with_sharding_constraint(batch, env.stacked_batch())
     return batch
+
+
+# --- sharded-resident middle tier (SURVEY §5.8, round-4 VERDICT #9) ---------
+#
+# Datasets too big for ONE chip's HBM but fitting the data-axis devices'
+# aggregate HBM: the example dimension is sharded over the batch axes and
+# each device draws its slice of the global batch from ITS OWN shard — every
+# gather stays device-local, no collective touches the input path (the same
+# property the replicated tier has, at 1/D the per-chip footprint).
+#
+# Semantics deviation, stated honestly: the replicated tier draws every
+# batch element uniformly from the WHOLE split; this tier draws uniformly
+# within per-device shards (examples are shuffled to shards once at staging,
+# so shard statistics match the split — the standard sharded-data-loader
+# semantics of every DP framework).  The stream is exactly resumable for a
+# fixed mesh but is a different stream on a different mesh size.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedDeviceData:
+    """Per-device-sharded split: example dim sharded over the batch axes.
+
+    Shard d owns rows [d·Nl, (d+1)·Nl) of ``images``/``embeddings``; the
+    class tables are per-shard (row d indexes WITHIN shard d)."""
+
+    images: jax.Array       # [D·Nl, S, S, 3] uint8, dim 0 sharded
+    embeddings: jax.Array   # [D·Nl, C, E] float32, dim 0 sharded
+    class_perm: jax.Array   # [D, Nl] int32, dim 0 sharded
+    other_start: jax.Array  # [D, Nl] int32
+    other_count: jax.Array  # [D, Nl] int32
+
+
+def _batch_axis_names(env: MeshEnv):
+    return (("slice", "data") if "slice" in env.mesh.axis_names
+            else ("data",))
+
+
+def stage_sharded(dataset, env: MeshEnv, seed: int = 0) -> ShardedDeviceData:
+    """Shuffle examples onto D = slice·data shards (wrap-padding the tail so
+    shards are equal-sized) and stage each shard on its devices."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = env.slice_size * env.data_size
+    n = len(dataset.class_ids)
+    rng = np.random.default_rng(seed)
+    nl = -(-n // d)                      # ceil — tail wraps (mild duplication)
+    order = rng.permutation(n)
+    idx = order[np.arange(d * nl) % n]
+    perms, starts, counts = [], [], []
+    for s in range(d):
+        shard_cls = np.asarray(dataset.class_ids)[idx[s * nl:(s + 1) * nl]]
+        try:
+            p, st, ct = class_tables(shard_cls)
+        except ValueError as e:
+            raise ValueError(
+                f"shard {s}/{d} is single-class after shuffling — dataset "
+                f"too small/skewed for the sharded tier; use the host "
+                f"pipeline") from e
+        perms.append(p), starts.append(st), counts.append(ct)
+
+    axes = P(_batch_axis_names(env))
+    row = NamedSharding(env.mesh, axes)                      # dim-0 sharded
+    host = ShardedDeviceData(
+        images=np.ascontiguousarray(np.asarray(dataset.images)[idx]),
+        embeddings=np.ascontiguousarray(
+            np.asarray(dataset.embeddings)[idx], dtype=np.float32),
+        class_perm=np.stack(perms), other_start=np.stack(starts),
+        other_count=np.stack(counts))
+    return jax.tree.map(lambda x: jax.device_put(x, row), host)
+
+
+def sample_stacked_sharded(data: ShardedDeviceData, key: jax.Array,
+                           n_critic: int, batch_size: int, image_size: int,
+                           window: int, random_crop: bool, random_flip: bool,
+                           env: MeshEnv) -> Dict[str, jax.Array]:
+    """[K, B, ...] batch where device d's B/D slice is drawn from shard d —
+    a shard_map over the batch axes; the model axis (unmentioned) computes
+    replicated duplicates from the same per-shard key, so outputs are
+    model-invariant by construction."""
+    from jax.sharding import PartitionSpec as P
+
+    names = _batch_axis_names(env)
+    d = env.slice_size * env.data_size
+    if batch_size % d:
+        raise ValueError(f"batch_size {batch_size} not divisible by the "
+                         f"{d} batch-axis devices")
+    local_b = batch_size // d
+    row, tab = P(names), P(names)
+    out = P(None, names)
+
+    def local(imgs, embs, perm, ostart, ocount, k):
+        shard = (jax.lax.axis_index(names[0]) if len(names) == 1 else
+                 jax.lax.axis_index(names[0]) * env.data_size
+                 + jax.lax.axis_index(names[1]))
+        local_data = DeviceData(images=imgs, embeddings=embs,
+                                class_perm=perm[0], other_start=ostart[0],
+                                other_count=ocount[0])
+        ks = jax.random.split(jax.random.fold_in(k, shard), n_critic)
+        return jax.vmap(lambda kk: sample_batch(
+            local_data, kk, local_b, image_size, window, random_crop,
+            random_flip))(ks)
+
+    return jax.shard_map(
+        local, mesh=env.mesh,
+        in_specs=(row, row, tab, tab, tab, P()),
+        out_specs={"real": out, "wrong": out, "emb": out},
+        check_vma=False,  # randomness via fold_in(axis_index) — model-axis
+        # invariance holds by construction but is opaque to the checker
+    )(data.images, data.embeddings, data.class_perm, data.other_start,
+      data.other_count, key)

@@ -64,7 +64,13 @@ class Trainer:
         # host→device transfer and replays exactly across restores.
         self.device_data = None
         self.pipeline = None
-        if self._resident_enabled():
+        tier = self._resident_tier()
+        if tier == "sharded":
+            self.device_data = device_data.stage_sharded(
+                self.dataset, self.env, seed=cfg.seed)
+            self.step_fn = make_resident_step(cfg, self.steps_per_epoch,
+                                              self.env)
+        elif tier == "replicated":
             self.device_data = device_data.stage(self.dataset, self.env)
             self.step_fn = make_resident_step(cfg, self.steps_per_epoch,
                                               self.env)
@@ -88,23 +94,40 @@ class Trainer:
             self.dataset.test_embeddings(n_samples), np.float32)
         self._sample_key = jax.random.fold_in(key, 2**30)
 
-    def _resident_enabled(self) -> bool:
+    def _resident_tier(self) -> Optional[str]:
+        """Data-path tier: 'replicated' (split staged per device),
+        'sharded' (example dim sharded over the batch axes — datasets up to
+        D× the per-chip budget, data/device.py round-4 tier), or None (host
+        pipeline)."""
         mode = self.cfg.data.device_resident
         if mode == "off":
-            return False
+            return None
         ds = self.dataset
         stageable = all(hasattr(ds, a)
                         for a in ("images", "embeddings", "class_ids"))
-        if mode == "on":
+        d = self.env.slice_size * self.env.data_size
+        if mode in ("on", "sharded"):
             if not stageable:
                 raise ValueError(
-                    "device_resident=on but the dataset does not expose "
-                    "in-memory images/embeddings/class_ids arrays")
-            return True
-        # auto: resident when the split fits the per-chip budget
-        return (stageable and
-                device_data.nbytes(ds)
-                <= self.cfg.data.resident_budget_mb * 2**20)
+                    f"device_resident={mode} but the dataset does not "
+                    "expose in-memory images/embeddings/class_ids arrays")
+            if mode == "sharded" and self.cfg.train.batch_size % d:
+                raise ValueError(
+                    f"device_resident=sharded needs batch_size divisible "
+                    f"by the {d} batch-axis devices")
+            return "sharded" if mode == "sharded" else "replicated"
+        # auto: replicated when the split fits the per-chip budget;
+        # sharded when it fits spread over the batch-axis devices
+        if not stageable:
+            return None
+        budget = self.cfg.data.resident_budget_mb * 2**20
+        size = device_data.nbytes(ds)
+        if size <= budget:
+            return "replicated"
+        if (d > 1 and size <= d * budget
+                and self.cfg.train.batch_size % d == 0):
+            return "sharded"
+        return None
 
     def _load_stage1(self):
         """Stage-II cross-model restore: Stage-I G params from its run dir."""

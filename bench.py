@@ -18,6 +18,11 @@ Four throughputs are measured each run:
   window-average, exact-uniform wrong-pair) assembled INSIDE the compiled
   step (data/device.py).  This is what a training run sees on datasets that
   fit HBM — no per-step host→device transfer at all.
+* `sharded_resident_value` — the sharded-resident middle tier
+  (data/device.py stage_sharded): example dim sharded over the batch-axis
+  devices, each device draws its batch slice from its own shard.  Serves
+  datasets up to D× the per-chip HBM budget; at D=1 the delta vs
+  resident_value is the tier's shard_map overhead.
 * `pipeline_value` — end-to-end on the host-pipeline fallback (TextDataset
   serving path: C++ crop/flip/normalize kernels, caption windowing,
   wrong-pair rejection, uint8 host→HBM transfer, prefetch threads), for
@@ -169,6 +174,30 @@ def main():
         except Exception as e:  # must never sink the harness
             resident_per_chip = f"failed: {type(e).__name__}: {e}"
 
+    sharded_per_chip = None
+    if not args.pipeline_only:
+        try:
+            # sharded-resident middle tier (data/device.py stage_sharded):
+            # example dim sharded over the batch axes, each device draws its
+            # slice of the global batch from its own shard.  On a 1-chip run
+            # this degenerates to the replicated tier's work plus the
+            # shard_map wrapper — the delta vs resident_value IS the tier's
+            # dispatch overhead; on D chips it serves D× the dataset.
+            from text_to_image_tpu.data import device as DD
+            from text_to_image_tpu.train.steps import make_resident_step
+            sdata = DD.stage_sharded(ds, env)
+            sstep = make_resident_step(cfg, steps_per_epoch=100, env=env)
+            sts = init_train_state(prng.base_key(2), cfg, steps_per_epoch=100)
+            sts = jax.device_put(sts, env.replicated())
+            for _ in range(WARMUP_STEPS):
+                sts, metrics = sstep(sts, sdata)
+            float(metrics["g_loss"])
+            rate, sts = _measure(sstep, sts, lambda: sdata, batch, 3,
+                                 MEASURE_STEPS)
+            sharded_per_chip = round(rate / n_chips, 2)
+        except Exception as e:  # must never sink the harness
+            sharded_per_chip = f"failed: {type(e).__name__}: {e}"
+
     pipe_per_chip = None
     if not args.device_only:
         try:
@@ -229,6 +258,7 @@ def main():
         "vs_baseline": round(primary / base, 2)
         if isinstance(primary, (int, float)) else None,
         "resident_value": resident_per_chip,
+        "sharded_resident_value": sharded_per_chip,
         "pipeline_value": pipe_per_chip,
         "sampling_value": sampling_per_chip,
         "baseline_img_per_sec": base,

@@ -12,8 +12,12 @@ crops at the reference source geometry (76px for Stage-I, 304px for
 Stage-II) — the journey on real pixels.
 
 Run: python scripts/chained_stackgan.py [stage1_steps] [stage2_steps]
-     [synthetic|natural]
-Results are appended to BASELINE.md by hand from the printed summary.
+     [synthetic|natural] [--ema[=0.999]]
+``--ema`` trains both stages with a generator weight EMA (train.ema_decay,
+Karras eval recipe): eval/grids sample the EMA params, Stage-II freezes the
+EMA Stage-I generator, and each stage reports the live-params IS too (the
+A/B from one run).  Results are appended to BASELINE.md by hand from the
+printed summary.
 """
 
 import os
@@ -36,7 +40,7 @@ N_CLASSES = 8
 
 
 def _cfg(model: str, image_size: int, root: str,
-         dataset: str = "synthetic") -> Config:
+         dataset: str = "synthetic", ema_decay: float = 0.0) -> Config:
     return Config(
         model=model,
         gan=GanConfig(),  # flagship dims: gf=128, df=64, z=100, embed=1024
@@ -48,7 +52,7 @@ def _cfg(model: str, image_size: int, root: str,
         # measured stage1 r=0.982/IS 6.71, stage2 256px r=0.949/IS 7.34.
         train=TrainConfig(batch_size=64, g_steps=1, lr_decay_epoch=10**6,
                           summary_interval=50, sample_interval=10**9,
-                          snapshot_interval=10**9),
+                          snapshot_interval=10**9, ema_decay=ema_decay),
         data=DataConfig(dataset_name=dataset, image_size=image_size),
         dtype="bfloat16",
         checkpoint_dir=os.path.join(root, "ck"),
@@ -86,16 +90,31 @@ def _train(cfg: Config, ds, steps: int) -> Trainer:
 
 def _quality(t: Trainer, cfg: Config, ds) -> dict:
     from text_to_image_tpu.eval.synthetic_quality import evaluate
-    return evaluate(make_generator_fn(cfg), t.ts, cfg, ds, N_CLASSES)
+    q = evaluate(make_generator_fn(cfg), t.ts, cfg, ds, N_CLASSES)
+    if cfg.train.ema_decay > 0:
+        # A/B from the SAME trained state: evaluate() samples from the EMA
+        # params when aux carries them (eval_g_params) — strip the key to
+        # get the live-params number too (same pattern as
+        # scripts/pggan_progression.py).
+        ts_live = t.ts.replace(aux={k: v for k, v in t.ts.aux.items()
+                                    if k != "ema_g_params"})
+        q_live = evaluate(make_generator_fn(cfg), ts_live, cfg, ds,
+                          N_CLASSES)
+        print(f"[{cfg.model}] LIVE-params eval (EMA off): {q_live}; "
+              f"EMA(decay={cfg.train.ema_decay}) IS delta "
+              f"{q['is_mean'] - q_live['is_mean']:+.2f}", flush=True)
+        q = dict(q, live_is_mean=q_live["is_mean"], live_r=q_live["r"])
+    return q
 
 
 def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
-         root: str = ROOT, dataset: str = "synthetic") -> int:
+         root: str = ROOT, dataset: str = "synthetic",
+         ema_decay: float = 0.0) -> int:
     shutil.rmtree(root, ignore_errors=True)
     results = {}
 
     # ---- Stage-I 64px ----------------------------------------------------
-    cfg1 = _cfg("stackgan_stage1", 64, root, dataset)
+    cfg1 = _cfg("stackgan_stage1", 64, root, dataset, ema_decay)
     ds64 = _dataset(64, dataset)
     t1 = _train(cfg1, ds64, stage1_steps)
     results["stage1"] = _quality(t1, cfg1, ds64)
@@ -104,7 +123,7 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
     t1.close()
 
     # ---- Stage-II 256px, frozen Stage-I restored from its checkpoint ----
-    cfg2 = _cfg("stackgan_stage2", 256, root, dataset)
+    cfg2 = _cfg("stackgan_stage2", 256, root, dataset, ema_decay)
     ds256 = _dataset(256, dataset)
     t2 = _train(cfg2, ds256, stage2_steps)
     results["stage2"] = _quality(t2, cfg2, ds256)
@@ -120,7 +139,14 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
 
 
 if __name__ == "__main__":
-    s1 = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    s2 = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
-    dset = sys.argv[3] if len(sys.argv) > 3 else "synthetic"
-    sys.exit(main(s1, s2, dataset=dset))
+    ema = 0.0
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--ema"):
+            ema = float(a.split("=", 1)[1]) if "=" in a else 0.999
+        else:
+            argv.append(a)
+    s1 = int(argv[0]) if len(argv) > 0 else 3000
+    s2 = int(argv[1]) if len(argv) > 1 else 3000
+    dset = argv[2] if len(argv) > 2 else "synthetic"
+    sys.exit(main(s1, s2, dataset=dset, ema_decay=ema))

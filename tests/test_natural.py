@@ -138,6 +138,10 @@ def test_synthetic_quality_crop_branch():
     assert q["r"] > 0.95
     assert q["is_mean"] > 2.0   # flat colors, cropped real texture: clf
     # trained on real 64px crops still separates the 8 color centroids
+    # conditional accuracy well above chance (1/8) even though the stub's
+    # flat color fields are out-of-distribution for the texture-trained
+    # classifier (measured 0.5 on CPU, 2026-08-19)
+    assert q["cond_acc"] > 0.3
 
 
 def test_get_dataset_wiring():

@@ -53,11 +53,34 @@ def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
         clf_images = clf_images[:, o:o + out, o:o + out]
     clf_params, acc = train_classifier(clf_images, ds.class_ids, num_classes,
                                        steps=300)
+    clf = make_classifier_fn(clf_params)
     is_mean, is_std = compute_inception_score(
         lambda z, e, kk: gen(eval_g_params(ts), ts.g_state, ts.aux, z, e, kk),
-        make_classifier_fn(clf_params),
+        clf,
         ds.test_embeddings().astype(np.float32),
         num_images=num_images, batch_size=64, z_dim=cfg.gan.z_dim)
+
+    # conditional accuracy: a generated image must be CLASSIFIED as the
+    # class whose embedding conditioned it.  Color-proxy-free conditioning
+    # metric: the fixed-z color correlation above assumes mean color is a
+    # class signature, which breaks on crop-source sets with overlapping
+    # palettes (natural16: real data itself draws r as low as 0.859 on the
+    # single-example analogue, median 0.971 — measured 2026-08-19).
+    n_eval = min(512, len(ds.class_ids))
+    labels = np.asarray(ds.class_ids[:n_eval])
+    embs_all = ds.embeddings[:n_eval, 0, :].astype(np.float32)
+    key = jax.random.PRNGKey(2)
+    preds = []
+    for i in range(0, n_eval, 64):
+        kb = jax.random.fold_in(key, i)
+        kz, kg = jax.random.split(kb)
+        e = jnp.asarray(embs_all[i:i + 64])
+        z = jax.random.normal(kz, (len(e), cfg.gan.z_dim))
+        out = gen(eval_g_params(ts), ts.g_state, ts.aux, z, e, kg)
+        preds.append(np.argmax(np.asarray(jax.device_get(clf(out))), -1))
+    cond_acc = float((np.concatenate(preds) == labels).mean())
+
     return {"r": round(r, 3), "clf_acc": round(acc, 3),
+            "cond_acc": round(cond_acc, 3),
             "is_mean": round(float(is_mean), 2),
             "is_std": round(float(is_std), 2)}

@@ -84,4 +84,9 @@ def load_stage1_generator(directory: str, ts_like: TrainState
     mgr.close()
     if step is None:
         raise FileNotFoundError(f"no Stage-I checkpoint under {directory}")
-    return restored.g_params, restored.g_state
+    # Freeze the EVAL weights: when Stage-I trained with a generator EMA
+    # (train.ema_decay > 0), the averaged params are what sampling/eval use
+    # (eval/sampler.eval_g_params) — Stage-II should refine those, not the
+    # noisier live params.
+    return (restored.aux.get("ema_g_params", restored.g_params),
+            restored.g_state)

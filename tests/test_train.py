@@ -184,3 +184,16 @@ def test_ema_tracks_generator_and_serves_eval():
     ts0 = init_train_state(prng.base_key(0), cfg0)
     assert "ema_g_params" not in ts0.aux
     assert eval_g_params(ts0) is ts0.g_params
+
+
+def test_ema_coexists_with_stage2_aux():
+    """Stage-II carries the frozen Stage-I generator in aux; ema_decay > 0
+    must ADD ema_g_params alongside it, not replace the dict (regression:
+    init overwrote aux, so the first Stage-II EMA step raised KeyError)."""
+    cfg = tiny_config("stackgan_stage2", g_steps=1, ema_decay=0.999)
+    ts = init_train_state(prng.base_key(0), cfg)
+    assert "ema_g_params" in ts.aux and "stage1_g_params" in ts.aux
+    step = make_train_step(cfg)
+    ts, metrics = step(ts, make_batch(cfg))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert "ema_g_params" in ts.aux

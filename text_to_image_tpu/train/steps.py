@@ -65,7 +65,9 @@ def _init_builder(cfg: Config, steps_per_epoch: int):
                     ks1, cfg.gan, cfg.data.image_size // 4)
             else:
                 s1p, s1s = stage1_in
-            aux = {"stage1_g_params": s1p, "stage1_g_state": s1s}
+            # merge — overwriting here dropped ema_g_params for Stage-II
+            # (KeyError at the first EMA lerp in _step_body)
+            aux.update(stage1_g_params=s1p, stage1_g_state=s1s)
         return TrainState(
             g_params=g_params, g_state=g_state,
             d_params=d_params, d_state=d_state,

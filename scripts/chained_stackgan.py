@@ -12,7 +12,10 @@ crops at the reference source geometry (76px for Stage-I, 304px for
 Stage-II) — the journey on real pixels.
 
 Run: python scripts/chained_stackgan.py [stage1_steps] [stage2_steps]
-     [synthetic|natural] [--ema[=0.999]]
+     [synthetic|natural] [--ema[=0.999]] [--resume]
+``--resume`` keeps the run dir and restores both stages from their latest
+checkpoints (stages snapshot every 1000 steps) — interrupted long runs
+continue instead of restarting.
 ``--ema`` trains both stages with a generator weight EMA (train.ema_decay,
 Karras eval recipe): eval/grids sample the EMA params, Stage-II freezes the
 EMA Stage-I generator, and each stage reports the live-params IS too (the
@@ -28,6 +31,8 @@ import dataclasses
 import json
 import shutil
 import time
+
+import jax
 
 from text_to_image_tpu.config import Config, DataConfig, GanConfig, TrainConfig
 from text_to_image_tpu.data.synthetic import SyntheticDataset
@@ -50,9 +55,12 @@ def _cfg(model: str, image_size: int, root: str,
         # running metrics (d_loss→1e-3, g_loss 6–10, CA KL ≈0.03): the
         # non-saturating CE keeps G learning and conditioning survives —
         # measured stage1 r=0.982/IS 6.71, stage2 256px r=0.949/IS 7.34.
+        # snapshot every 1000 steps: long Stage-II runs survive tunnel/process
+        # interruptions via --resume (same lesson as train_progressive —
+        # a wedged RPC at step 12150/15000 once cost the whole stage)
         train=TrainConfig(batch_size=64, g_steps=1, lr_decay_epoch=10**6,
                           summary_interval=50, sample_interval=10**9,
-                          snapshot_interval=10**9, ema_decay=ema_decay),
+                          snapshot_interval=1000, ema_decay=ema_decay),
         data=DataConfig(dataset_name=dataset, image_size=image_size),
         dtype="bfloat16",
         checkpoint_dir=os.path.join(root, "ck"),
@@ -74,17 +82,19 @@ def _dataset(image_size: int, dataset: str = "synthetic"):
                             embed_dim=1024, num_classes=N_CLASSES, seed=0)
 
 
-def _train(cfg: Config, ds, steps: int) -> Trainer:
+def _train(cfg: Config, ds, steps: int, resume: bool = False) -> Trainer:
     t0 = time.time()
-    t = Trainer(cfg, dataset=ds, restore=False)
+    t = Trainer(cfg, dataset=ds, restore=resume)
     print(f"[{cfg.model}] trainer ready in {time.time() - t0:.0f}s "
           f"(init + HBM staging); compiling step…", flush=True)
+    start = int(jax.device_get(t.ts.step))
     t0 = time.time()
     t.train(num_steps=steps)
     dt = time.time() - t0
-    print(f"[{cfg.model}] {steps} steps in {dt:.0f}s "
-          f"({steps / dt:.1f} steps/s, "
-          f"{steps * cfg.train.batch_size / dt:.0f} img/s)", flush=True)
+    ran = max(steps - start, 0)
+    print(f"[{cfg.model}] {ran} steps (from {start}) in {dt:.0f}s "
+          f"({ran / dt:.1f} steps/s, "
+          f"{ran * cfg.train.batch_size / dt:.0f} img/s)", flush=True)
     return t
 
 
@@ -109,14 +119,15 @@ def _quality(t: Trainer, cfg: Config, ds) -> dict:
 
 def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
          root: str = ROOT, dataset: str = "synthetic",
-         ema_decay: float = 0.0) -> int:
-    shutil.rmtree(root, ignore_errors=True)
+         ema_decay: float = 0.0, resume: bool = False) -> int:
+    if not resume:
+        shutil.rmtree(root, ignore_errors=True)
     results = {}
 
     # ---- Stage-I 64px ----------------------------------------------------
     cfg1 = _cfg("stackgan_stage1", 64, root, dataset, ema_decay)
     ds64 = _dataset(64, dataset)
-    t1 = _train(cfg1, ds64, stage1_steps)
+    t1 = _train(cfg1, ds64, stage1_steps, resume)
     results["stage1"] = _quality(t1, cfg1, ds64)
     print(f"[stage1] {results['stage1']}", flush=True)
     t1.save_samples(stage1_steps)
@@ -125,7 +136,7 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
     # ---- Stage-II 256px, frozen Stage-I restored from its checkpoint ----
     cfg2 = _cfg("stackgan_stage2", 256, root, dataset, ema_decay)
     ds256 = _dataset(256, dataset)
-    t2 = _train(cfg2, ds256, stage2_steps)
+    t2 = _train(cfg2, ds256, stage2_steps, resume)
     results["stage2"] = _quality(t2, cfg2, ds256)
     print(f"[stage2] {results['stage2']}", flush=True)
     grid = t2.save_samples(stage2_steps)
@@ -140,13 +151,16 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
 
 if __name__ == "__main__":
     ema = 0.0
+    resume = False
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--ema"):
             ema = float(a.split("=", 1)[1]) if "=" in a else 0.999
+        elif a == "--resume":
+            resume = True
         else:
             argv.append(a)
     s1 = int(argv[0]) if len(argv) > 0 else 3000
     s2 = int(argv[1]) if len(argv) > 1 else 3000
     dset = argv[2] if len(argv) > 2 else "synthetic"
-    sys.exit(main(s1, s2, dataset=dset, ema_decay=ema))
+    sys.exit(main(s1, s2, dataset=dset, ema_decay=ema, resume=resume))

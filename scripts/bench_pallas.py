@@ -251,7 +251,10 @@ def bench_train_graph(which: str, batch=64):
         "wrong": rng.integers(0, 256, (k, batch, res, res, 3), dtype=np.uint8),
         "emb": rng.normal(size=(k, batch, cfg.gan.embed_dim)).astype(np.float32),
     })
-    def targeted_wins(x_shape, co):
+    def targeted_wins(x_shape, co, bn_follows=False):
+        # bn_follows is accepted (use_upconv passes it) and DELIBERATELY
+        # ignored: targeted mode measures routing the fwd+bwd winners even
+        # into BN-followed up-blocks — the whole point of the A/B.
         # fwd+bwd-informed training table (round-4 --grad microbench): only
         # the shapes whose full fwd+bwd beat lax standalone — whole-image to
         # 32x32 with cin >= 256 (16x16x256->128 -20%, 32x32x256->128 -11%)

@@ -121,3 +121,50 @@ def test_stage1_cross_restore_prefers_ema_params(tmp_path):
     s1_params, _ = C.load_stage1_generator(
         str(tmp_path / "s1e"), init_train_state(prng.base_key(0), cfg1))
     _trees_equal(ema, jax.device_get(s1_params))
+
+
+def test_restore_reconciles_toggled_ema(tmp_path):
+    """Toggling train.ema_decay between runs changes the aux pytree; restore
+    must reconcile instead of failing (ADVICE r4): a pre-EMA checkpoint
+    restored into an EMA run backfills ema_g_params from g_params, and an
+    EMA checkpoint restored into a non-EMA run drops the averaged copy."""
+    cfg_plain = tiny_config("gancls")
+    cfg_ema = tiny_config("gancls", ema_decay=0.9)
+
+    # pre-EMA checkpoint -> EMA-enabled run
+    ts = init_train_state(prng.base_key(0), cfg_plain)
+    mgr = C.CheckpointManager(str(tmp_path / "a"))
+    mgr.save(1, jax.device_get(ts))
+    restored, step = mgr.restore(init_train_state(prng.base_key(1), cfg_ema))
+    mgr.close()
+    assert step == 1
+    _trees_equal(ts.g_params, restored.g_params)
+    _trees_equal(restored.g_params, restored.aux["ema_g_params"])
+    # the reconciled state steps fine under the EMA schedule
+    ts2, m = make_train_step(cfg_ema)(restored, make_batch(cfg_ema))
+    assert np.isfinite(float(m["g_loss"]))
+    assert "ema_g_params" in ts2.aux
+
+    # EMA checkpoint -> non-EMA run
+    ts_e = init_train_state(prng.base_key(0), cfg_ema)
+    mgr = C.CheckpointManager(str(tmp_path / "b"))
+    mgr.save(2, jax.device_get(ts_e))
+    restored2, step2 = mgr.restore(
+        init_train_state(prng.base_key(1), cfg_plain))
+    mgr.close()
+    assert step2 == 2
+    assert "ema_g_params" not in restored2.aux
+    _trees_equal(ts_e.g_params, restored2.g_params)
+
+    # genuinely mismatched structures still raise the informative error
+    cfg_other = tiny_config("gancls", image_size=32)
+    mgr = C.CheckpointManager(str(tmp_path / "a"))
+    try:
+        mgr.restore(init_train_state(prng.base_key(0), cfg_other))
+        raised = False
+    except ValueError as e:
+        raised = True
+        assert "ema_decay" in str(e)
+    finally:
+        mgr.close()
+    assert raised

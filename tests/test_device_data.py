@@ -326,7 +326,6 @@ def test_sample_stacked_sharded_semantics_and_determinism():
     nl = len(imgs) // 8
     real = np.asarray(batch["real"])
     wrong = np.asarray(batch["wrong"])
-    cls = (np.arange(64) % 4)[np.argsort(np.random.default_rng(0).permutation(64), kind="stable")] if False else None
     staged_cls = np.asarray([  # class of each staged row, via byte lookup
         ds.class_ids[np.nonzero([r.tobytes() == im.tobytes()
                                  for im in ds.images])[0][0]]
@@ -375,14 +374,14 @@ def test_resident_step_runs_on_sharded_data():
         assert np.isfinite(float(v)), name
 
 
-def test_trainer_auto_selects_sharded_when_split_exceeds_chip_budget(tmp_path):
+def test_trainer_auto_selects_sharded_when_split_exceeds_chip_budget(
+        tmp_path, monkeypatch):
     """auto: split bigger than the per-chip budget but fitting in aggregate
-    -> sharded tier; off/on behavior unchanged."""
+    -> sharded tier; budget 0 -> host pipeline; explicit sharded unchanged."""
     from text_to_image_tpu.train.trainer import Trainer
     env = _mesh8()
     cfg = tiny_config("gancls")
     ds = _ArrDS(n=64, src=19, e=cfg.gan.embed_dim, classes=4)
-    per_chip_mb = max(1, DD.nbytes(ds) // 2**20)  # tiny split: force via budget 0
     cfg = cfg.replace(
         checkpoint_dir=str(tmp_path / "ck"), sample_dir=str(tmp_path / "s"),
         log_dir=str(tmp_path / "l"),
@@ -394,6 +393,20 @@ def test_trainer_auto_selects_sharded_when_split_exceeds_chip_budget(tmp_path):
         assert t.pipeline is not None
     finally:
         t.close()
+    # auto + split that exceeds the per-chip budget but fits over the 8
+    # batch-axis devices -> sharded tier (pretend the split is 5 MB vs a
+    # 1 MB chip budget; 5 <= 8x1 in aggregate)
+    monkeypatch.setattr(DD, "nbytes", lambda _ds: 5 * 2**20)
+    cfg_auto = cfg.replace(data=dataclasses.replace(
+        cfg.data, resident_budget_mb=1, device_resident="auto"))
+    t_auto = Trainer(cfg_auto, dataset=ds, env=env)
+    try:
+        assert isinstance(t_auto.device_data, DD.ShardedDeviceData)
+        assert t_auto.pipeline is None
+        t_auto.train(num_steps=1)
+        assert int(jax.device_get(t_auto.ts.step)) == 1
+    finally:
+        t_auto.close()
     # explicit sharded mode stages the sharded tier and trains
     cfg2 = cfg.replace(data=dataclasses.replace(cfg.data,
                                                 device_resident="sharded"))

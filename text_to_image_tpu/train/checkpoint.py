@@ -63,12 +63,43 @@ class CheckpointManager:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(abstract))
         except (ValueError, KeyError) as e:
+            # toggling train.ema_decay between runs adds/removes the
+            # aux['ema_g_params'] subtree — reconcile instead of failing
+            # (pre-EMA checkpoint into an EMA run backfills from g_params;
+            # EMA checkpoint into a non-EMA run drops the averaged copy)
+            restored = self._restore_reconciling_ema(abstract, step, e)
+        return restored, step
+
+    def _restore_reconciling_ema(self, abstract: TrainState, step: int,
+                                 err: Exception) -> TrainState:
+        aux = dict(abstract.aux)
+        if "ema_g_params" in aux:
+            aux.pop("ema_g_params")
+            backfill = True
+        else:
+            aux["ema_g_params"] = abstract.g_params
+            backfill = False
+        try:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.StandardRestore(abstract.replace(aux=aux)))
+        except (ValueError, KeyError):
             raise ValueError(
                 f"checkpoint at step {step} under {self._dir} does not match "
                 f"the current model/config structure (wrong model family, "
-                f"image_size, or network dims?) — point checkpoint_dir at a "
-                f"matching run or clear it. Original error:\n{e}") from e
-        return restored, step
+                f"image_size, network dims, or train.ema_decay toggled "
+                f"between runs?) — point checkpoint_dir at a matching run or "
+                f"clear it. Original error:\n{err}") from err
+        new_aux = dict(restored.aux)
+        if backfill:
+            # copy, don't alias: the train step donates the whole state, and
+            # aliased buffers trip "donate the same buffer twice"
+            import jax.numpy as jnp
+            new_aux["ema_g_params"] = jax.tree.map(jnp.copy,
+                                                   restored.g_params)
+        else:
+            new_aux.pop("ema_g_params", None)
+        return restored.replace(aux=new_aux)
 
     def close(self):
         self._mgr.wait_until_finished()

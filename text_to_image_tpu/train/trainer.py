@@ -65,6 +65,13 @@ class Trainer:
         self.device_data = None
         self.pipeline = None
         tier = self._resident_tier()
+        # the tiers differ in sampling semantics (the sharded tier draws
+        # per-shard-uniform, mesh-size-dependent batches) — say which one
+        # 'auto' picked so run logs carry the deviation
+        print(f"data path: {tier or 'host-pipeline'}"
+              + (" (per-shard-uniform sampling over "
+                 f"{self.env.slice_size * self.env.data_size} batch-axis "
+                 "devices)" if tier == "sharded" else ""))
         if tier == "sharded":
             self.device_data = device_data.stage_sharded(
                 self.dataset, self.env, seed=cfg.seed)

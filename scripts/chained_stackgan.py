@@ -12,7 +12,7 @@ crops at the reference source geometry (76px for Stage-I, 304px for
 Stage-II) — the journey on real pixels.
 
 Run: python scripts/chained_stackgan.py [stage1_steps] [stage2_steps]
-     [synthetic|natural] [--ema[=0.999]] [--resume]
+     [synthetic|natural|natural16] [--ema[=0.999]] [--resume]
 ``--resume`` keeps the run dir and restores both stages from their latest
 checkpoints (stages snapshot every 1000 steps) — interrupted long runs
 continue instead of restarting.
@@ -73,11 +73,14 @@ def _cfg(model: str, image_size: int, root: str,
 
 
 def _dataset(image_size: int, dataset: str = "synthetic"):
-    if dataset == "natural":
-        from text_to_image_tpu.data.natural import NaturalPhotoDataset
+    if dataset.startswith("natural"):
+        from text_to_image_tpu.data.natural import (ANCHORS, ANCHORS16,
+                                                    NaturalPhotoDataset)
         return NaturalPhotoDataset(examples_per_class=64,
                                    image_size=image_size,
-                                   embed_dim=1024, seed=0)
+                                   embed_dim=1024, seed=0,
+                                   anchors=(ANCHORS16 if dataset == "natural16"
+                                            else ANCHORS))
     return SyntheticDataset(num_examples=512, image_size=image_size,
                             embed_dim=1024, num_classes=N_CLASSES, seed=0)
 
@@ -100,7 +103,8 @@ def _train(cfg: Config, ds, steps: int, resume: bool = False) -> Trainer:
 
 def _quality(t: Trainer, cfg: Config, ds) -> dict:
     from text_to_image_tpu.eval.synthetic_quality import evaluate
-    q = evaluate(make_generator_fn(cfg), t.ts, cfg, ds, N_CLASSES)
+    n_cls = getattr(ds, "num_classes", N_CLASSES)
+    q = evaluate(make_generator_fn(cfg), t.ts, cfg, ds, n_cls)
     if cfg.train.ema_decay > 0:
         # A/B from the SAME trained state: evaluate() samples from the EMA
         # params when aux carries them (eval_g_params) — strip the key to
@@ -109,7 +113,7 @@ def _quality(t: Trainer, cfg: Config, ds) -> dict:
         ts_live = t.ts.replace(aux={k: v for k, v in t.ts.aux.items()
                                     if k != "ema_g_params"})
         q_live = evaluate(make_generator_fn(cfg), ts_live, cfg, ds,
-                          N_CLASSES)
+                          n_cls)
         print(f"[{cfg.model}] LIVE-params eval (EMA off): {q_live}; "
               f"EMA(decay={cfg.train.ema_decay}) IS delta "
               f"{q['is_mean'] - q_live['is_mean']:+.2f}", flush=True)

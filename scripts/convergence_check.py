@@ -20,7 +20,10 @@ VERDICT missing #2).
 
 Run: python scripts/convergence_check.py [steps]
      [gancls|gancls_int|pggan|wgancls] [synthetic|natural|natural16]
-     [grid.png]
+     [grid.png] [--iv3]
+(--iv3 additionally scores the trained generator with the full InceptionV3
+finetuned on the same real images — both instruments' IS for the same
+samples, eval/synthetic_quality.evaluate_iv3)
 (natural16 = the 16-class / 11-source-image set with roaming texture
 classes, data/natural.py ANCHORS16 — round-4 diversity push)
 (the split is staged in HBM once and every batch — index draw, crop, flip,
@@ -98,7 +101,8 @@ def _config(model: str, dataset: str = "synthetic") -> Config:
 
 
 def main(steps: int = 3000, model: str = "gancls",
-         dataset: str = "synthetic", grid_path: str = "") -> int:
+         dataset: str = "synthetic", grid_path: str = "",
+         with_iv3: bool = False) -> int:
     cfg = _config(model, dataset)
     if dataset.startswith("natural"):
         from text_to_image_tpu.data.natural import (ANCHORS, ANCHORS16,
@@ -149,6 +153,20 @@ def main(steps: int = 3000, model: str = "gancls",
           flush=True)
     gen = make_generator_fn(cfg)
     q = evaluate(gen, ts, cfg, ds, num_classes=n_cls, num_images=1280)
+    if with_iv3:
+        # the same protocol scored with the full InceptionV3 finetuned on
+        # the same real images (VERDICT r4 #4: both instruments' IS for the
+        # same generator, so the scale shift is measured, not guessed)
+        from text_to_image_tpu.eval.synthetic_quality import evaluate_iv3
+        print("scoring with full InceptionV3 (finetune + IS)...", flush=True)
+        q_iv3 = evaluate_iv3(gen, ts, cfg, ds, num_classes=n_cls,
+                             num_images=1280)
+        q.update(q_iv3)
+        print(f"IV3 (from-scratch finetune, acc={q_iv3['iv3_clf_acc']:.2f}): "
+              f"IS {q_iv3['iv3_is_mean']:.2f} ± {q_iv3['iv3_is_std']:.2f}, "
+              f"cond_acc {q_iv3['iv3_cond_acc']:.3f} "
+              f"(SimpleCNN: IS {q['is_mean']:.2f}, "
+              f"cond_acc {q['cond_acc']:.3f})", flush=True)
 
     if grid_path:
         from text_to_image_tpu.utils.images import save_images
@@ -182,8 +200,9 @@ def main(steps: int = 3000, model: str = "gancls",
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    which = sys.argv[2] if len(sys.argv) > 2 else "gancls"
-    dset = sys.argv[3] if len(sys.argv) > 3 else "synthetic"
-    grid = sys.argv[4] if len(sys.argv) > 4 else ""
-    sys.exit(main(n, which, dset, grid))
+    argv = [a for a in sys.argv[1:] if a != "--iv3"]
+    n = int(argv[0]) if len(argv) > 0 else 3000
+    which = argv[1] if len(argv) > 1 else "gancls"
+    dset = argv[2] if len(argv) > 2 else "synthetic"
+    grid = argv[3] if len(argv) > 3 else ""
+    sys.exit(main(n, which, dset, grid, with_iv3="--iv3" in sys.argv))

@@ -7,7 +7,8 @@ and reports 256 px quality (synthetic IS + fixed-z class-color correlation)
 plus a sample grid.
 
 Run: python scripts/pggan_progression.py [steps_per_stage] [image_size]
-     [synthetic|natural|natural16] [--ema[=0.999]] [--resume]
+     [synthetic|natural|natural16] [--ema[=0.999]] [--ema-rampup[=10]]
+     [--resume]
 
 ``--ema`` trains with a generator weight EMA (Karras eval recipe,
 train.ema_decay) and reports BOTH the EMA-params and live-params IS from
@@ -51,7 +52,8 @@ ROOT = "runs/pggan256"
 
 
 def _cfg(steps_per_stage: int, image_size: int, root: str,
-         dataset: str = "synthetic", ema_decay: float = 0.0) -> Config:
+         dataset: str = "synthetic", ema_decay: float = 0.0,
+         ema_rampup: float = 0.0) -> Config:
     # the shipped configs/pggan_flowers_256.yml recipe, pointed at the
     # synthetic dataset (no network/datasets in this environment)
     return Config(
@@ -61,6 +63,7 @@ def _cfg(steps_per_stage: int, image_size: int, root: str,
                           beta2=0.9, lr_decay_epoch=10**9,
                           summary_interval=100, sample_interval=10**9,
                           snapshot_interval=10**9, ema_decay=ema_decay,
+                          ema_rampup=ema_rampup,
                           coeff=CoeffConfig(gp_lambda=10.0,
                                             drift_epsilon=1e-3)),
         data=DataConfig(dataset_name=dataset, image_size=image_size),
@@ -75,10 +78,12 @@ def _cfg(steps_per_stage: int, image_size: int, root: str,
 
 def main(steps_per_stage: int = 3000, image_size: int = 256,
          root: str = ROOT, resume: bool = False,
-         dataset: str = "synthetic", ema_decay: float = 0.0) -> int:
+         dataset: str = "synthetic", ema_decay: float = 0.0,
+         ema_rampup: float = 0.0) -> int:
     if not resume:
         shutil.rmtree(root, ignore_errors=True)
-    cfg = _cfg(steps_per_stage, image_size, root, dataset, ema_decay)
+    cfg = _cfg(steps_per_stage, image_size, root, dataset, ema_decay,
+               ema_rampup)
     n = PG.num_stages(image_size)
     run_dir = os.path.join(cfg.checkpoint_dir, "pggan", dataset)
 
@@ -99,17 +104,18 @@ def main(steps_per_stage: int = 3000, image_size: int = 256,
     print(f"[pggan] restored step {restored}", flush=True)
 
     gen = make_generator_fn(final)
-    q = evaluate(gen, ts, final, ds)
+    q = evaluate(gen, ts, final, ds, num_classes=ds.num_classes)
     print(f"[pggan {image_size}px] {q}", flush=True)
     if ema_decay > 0:
         # A/B from the SAME trained state: eval with the live params too
         # (evaluate() reads aux['ema_g_params'] when present — strip it)
         ts_live = ts.replace(aux={k: v for k, v in ts.aux.items()
                                   if k != "ema_g_params"})
-        q_live = evaluate(gen, ts_live, final, ds)
+        q_live = evaluate(gen, ts_live, final, ds,
+                          num_classes=ds.num_classes)
         print(f"[pggan {image_size}px] LIVE-params eval (EMA off): {q_live}",
               flush=True)
-        print(f"[pggan] EMA(decay={ema_decay}) IS delta: "
+        print(f"[pggan] EMA(decay={ema_decay}, rampup={ema_rampup}) IS delta: "
               f"{q['is_mean'] - q_live['is_mean']:+.2f} "
               f"(EMA {q['is_mean']:.2f} vs live {q_live['is_mean']:.2f})",
               flush=True)
@@ -129,11 +135,16 @@ def main(steps_per_stage: int = 3000, image_size: int = 256,
 
 if __name__ == "__main__":
     ema = 0.0
+    ema_rampup = 0.0
     argv = []
     resume = False
     for a in sys.argv[1:]:
         if a == "--resume":
             resume = True
+        elif a.startswith("--ema-rampup"):
+            # fade-aware decay ramp: min(decay, (1+t)/(rampup+t)), t = steps
+            # past each stage's fade end (train.ema_rampup)
+            ema_rampup = float(a.split("=", 1)[1]) if "=" in a else 10.0
         elif a.startswith("--ema"):
             ema = float(a.split("=", 1)[1]) if "=" in a else 0.999
         else:
@@ -141,4 +152,5 @@ if __name__ == "__main__":
     sps = int(argv[0]) if len(argv) > 0 else 3000
     res = int(argv[1]) if len(argv) > 1 else 256
     dset = argv[2] if len(argv) > 2 else "synthetic"
-    sys.exit(main(sps, res, resume=resume, dataset=dset, ema_decay=ema))
+    sys.exit(main(sps, res, resume=resume, dataset=dset, ema_decay=ema,
+                  ema_rampup=ema_rampup))

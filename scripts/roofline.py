@@ -188,6 +188,12 @@ def main() -> int:
     for g in args.graphs.split(","):
         if g == "serve":
             rows.append(audit_serving(batch=32, iters=args.iters))
+        elif g == "serve_sweep":
+            # throughput knee of the 256px serving path (batch 32→512):
+            # where does the forward stop being dispatch/occupancy-bound
+            # and hit its memory wall?
+            for b in (32, 64, 128, 256, 512):
+                rows.append(audit_serving(batch=b, iters=args.iters))
         elif g == "gancls64":
             rows.append(audit_train(g, batch=64, iters=args.iters))
         else:

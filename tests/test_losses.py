@@ -100,3 +100,26 @@ def test_ca_kl_closed_form():
     # standard normal → 0
     np.testing.assert_allclose(
         LL.ca_kl_loss(jnp.zeros((3, 5)), jnp.zeros((3, 5))), 0.0, atol=1e-7)
+
+
+def test_gan_cls_d_loss_one_sided_label_smoothing():
+    """real_label < 1 softens only the real-stream target: d_real becomes
+    CE vs the smoothed label (nonzero floor even when D is certain), while
+    fake/wrong terms are untouched (one-sided — Salimans et al. 2016)."""
+    r = jnp.asarray([4.0, 6.0])  # D confidently right on reals
+    f = jnp.asarray([-5.0, -3.0])
+    w = jnp.asarray([-4.0, -4.0])
+    plain = LL.gan_cls_d_loss(r, f, w)
+    smooth = LL.gan_cls_d_loss(r, f, w, real_label=0.9)
+    # golden: CE(x, z) = max(x,0) - x*z + log1p(exp(-|x|))
+    x = np.asarray(r, np.float64)
+    want = np.mean(np.maximum(x, 0) - x * 0.9 + np.log1p(np.exp(-np.abs(x))))
+    np.testing.assert_allclose(float(smooth["d_real"]), want, rtol=1e-6)
+    # the smoothed real term has a floor ~ (1-z)*logit; the plain one -> 0
+    assert float(smooth["d_real"]) > float(plain["d_real"]) + 0.3
+    np.testing.assert_allclose(float(smooth["d_fake"]), float(plain["d_fake"]))
+    np.testing.assert_allclose(float(smooth["d_wrong"]),
+                               float(plain["d_wrong"]))
+    # default real_label=1.0 is the reference behavior
+    np.testing.assert_allclose(float(LL.gan_cls_d_loss(r, f, w)["d_loss"]),
+                               float(plain["d_loss"]))

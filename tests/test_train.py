@@ -197,3 +197,37 @@ def test_ema_coexists_with_stage2_aux():
     ts, metrics = step(ts, make_batch(cfg))
     assert np.isfinite(float(metrics["g_loss"]))
     assert "ema_g_params" in ts.aux
+
+
+def test_ema_rampup_follows_the_ramped_decay():
+    """ema_rampup > 0: effective decay is min(ema_decay, (1+t)/(rampup+t))
+    with t = the step counter at update time — early steps track the live
+    params closely (short horizon), the cap is approached later."""
+    decay, ramp = 0.999, 10.0
+    cfg = tiny_config("gancls", ema_decay=decay, ema_rampup=ramp)
+    ts = init_train_state(prng.base_key(0), cfg)
+    step = make_train_step(cfg)
+    ema = jax.device_get(ts.aux["ema_g_params"])
+    for t in range(3):
+        ts, _ = step(ts, make_batch(cfg, seed=t))
+        live = jax.device_get(ts.g_params)
+        d_t = min(decay, (1.0 + t) / (ramp + t))
+        ema = jax.tree.map(lambda e, p: e + (1 - d_t) * (p - e), ema, live)
+        got = jax.device_get(ts.aux["ema_g_params"])
+        for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(got)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_pggan_ema_anchor_is_fade_end():
+    """The PGGAN bundle anchors the fade-aware EMA ramp at the current
+    stage's fade end (stage 1 has no fade: anchor 0)."""
+    import dataclasses
+    from text_to_image_tpu.models.registry import get_model
+    cfg = tiny_config("pggan", image_size=16)
+    cfg = cfg.replace(pggan=dataclasses.replace(
+        cfg.pggan, stage=3, steps_per_stage=100, fade_fraction=0.5,
+        start_step=200))
+    assert get_model(cfg).ema_anchor == 250  # start 200 + fade 50
+    cfg1 = cfg.replace(pggan=dataclasses.replace(cfg.pggan, stage=1,
+                                                 start_step=0))
+    assert get_model(cfg1).ema_anchor == 0

@@ -45,6 +45,10 @@ class CoeffConfig:
     interp_weight: float = 0.5     # weight of the GAN-INT generator loss term
     drift_epsilon: float = 0.0     # optional ε·E[D(real)²] critic drift
     # penalty (PGGAN-style score anchoring; 0 = reference WGAN-CLS behavior)
+    real_label_smooth: float = 1.0  # one-sided label smoothing: d_real's CE
+    # target (Salimans et al. 2016; 1.0 = reference behavior).  <1 keeps the
+    # CE discriminator off the saturation floor (round-4 Stage-II natural
+    # diagnosis: d_loss ~1e-5 for thousands of steps)
 
 
 @dataclass(frozen=True)
@@ -67,6 +71,12 @@ class TrainConfig:
     # PGGAN recipe; 0 = off, typical 0.999).  Training always uses the live
     # params; samplers/evaluators read aux['ema_g_params'] when present
     # (eval/sampler.py::eval_g_params)
+    ema_rampup: float = 0.0        # fade-aware EMA: when > 0, the effective
+    # decay ramps as min(ema_decay, (1+t)/(ema_rampup+t)) with t = steps
+    # since the EMA anchor (PGGAN: the current stage's fade end; other
+    # models: step 0).  Keeps the average horizon inside the post-fade tail
+    # so during-fade weights never enter it (round-4 measured −1.69 IS from
+    # exactly that).  Typical value 10 (Karras warmup constant); 0 = off
     coeff: CoeffConfig = field(default_factory=CoeffConfig)
 
 

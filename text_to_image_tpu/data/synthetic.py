@@ -22,6 +22,7 @@ class SyntheticDataset:
         self.raw_uint8 = raw_uint8  # uint8 out (device normalizes); see TextDataset
         rng = np.random.default_rng(seed)
         self.image_size = image_size
+        self._num_classes = num_classes
         self.class_ids = rng.integers(0, num_classes, size=num_examples)
         centroids = rng.normal(size=(num_classes, embed_dim)).astype(np.float32)
         self.embeddings = (
@@ -41,6 +42,10 @@ class SyntheticDataset:
     @property
     def embed_dim(self) -> int:
         return int(self.embeddings.shape[-1])
+
+    @property
+    def num_classes(self) -> int:
+        return self._num_classes
 
     def spawn(self, seed: int) -> "SyntheticDataset":
         """Shared-array view with an independent RNG (parallel workers)."""

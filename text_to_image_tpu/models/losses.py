@@ -39,8 +39,13 @@ def sigmoid_ce(logits: jax.Array, labels: float) -> jax.Array:
     return jnp.mean(per)
 
 
-def gan_cls_d_loss(real_logit, fake_logit, wrong_logit) -> Dict[str, jax.Array]:
-    d_real = sigmoid_ce(real_logit, 1.0)
+def gan_cls_d_loss(real_logit, fake_logit, wrong_logit,
+                   real_label: float = 1.0) -> Dict[str, jax.Array]:
+    """`real_label` < 1 is one-sided label smoothing (Salimans et al. 2016):
+    only the real-stream target softens, fake/wrong stay at 0 — caps the
+    optimal D(real) below certainty so D cannot saturate the real term to
+    zero loss (the Stage-II 256px pathology measured in round 4)."""
+    d_real = sigmoid_ce(real_logit, real_label)
     d_fake = sigmoid_ce(fake_logit, 0.0)
     d_wrong = sigmoid_ce(wrong_logit, 0.0)
     total = d_real + 0.5 * (d_fake + d_wrong)

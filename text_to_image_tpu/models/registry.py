@@ -45,6 +45,9 @@ class ModelBundle:
     disc_streams: Callable
     step_aux: Optional[Callable] = None
     prep_images: Optional[Callable] = None
+    ema_anchor: int = 0  # global step where the fade-aware EMA ramp
+    # restarts (train.ema_rampup > 0): PGGAN sets the current stage's fade
+    # end so the average horizon stays inside the stationary tail
 
 
 def get_model(cfg: Config) -> ModelBundle:
@@ -199,6 +202,7 @@ def get_model(cfg: Config) -> ModelBundle:
                            needs_stage1=False, init=init,
                            gen_apply=gen_apply, disc_apply=disc_apply,
                            disc_streams=disc_streams, step_aux=step_aux,
-                           prep_images=lambda x: PG.downsample_to(x, sres))
+                           prep_images=lambda x: PG.downsample_to(x, sres),
+                           ema_anchor=(start + fade if stage > 1 else 0))
 
     raise ValueError(f"unknown model {name!r}; expected one of {MODEL_NAMES}")

@@ -157,7 +157,8 @@ def _make_step_body(cfg: Config, steps_per_epoch: int):
                                     co.mismatch_alpha, co.gp_lambda,
                                     co.drift_epsilon)
         else:
-            ld = LL.gan_cls_d_loss(logits[0], logits[1], logits[2])
+            ld = LL.gan_cls_d_loss(logits[0], logits[1], logits[2],
+                                   co.real_label_smooth)
         return ld["d_loss"], (new_d_state, ld)
 
     def g_loss_fn(g_params, g_state, d_params, d_state, aux, batch, key):
@@ -245,8 +246,17 @@ def _make_step_body(cfg: Config, steps_per_epoch: int):
             # Karras-style generator weight average for eval: one lerp per
             # step in f32; training always uses the live params (the EMA
             # copy is read only by eval_g_params at sample/eval time)
+            decay = jnp.float32(tcfg.ema_decay)
+            if tcfg.ema_rampup > 0:
+                # fade-aware ramp: horizon restarts at the EMA anchor (PGGAN:
+                # this stage's fade end), so during-fade weights — a blend of
+                # two effective architectures — never enter the average
+                t = jnp.maximum(
+                    ts.step.astype(jnp.float32) - float(bundle.ema_anchor),
+                    0.0)
+                decay = jnp.minimum(decay, (1.0 + t) / (tcfg.ema_rampup + t))
             ema = jax.tree.map(
-                lambda e, p: e + (1.0 - tcfg.ema_decay) * (p - e),
+                lambda e, p: e + (1.0 - decay) * (p - e),
                 ts.aux["ema_g_params"], g_params)
             new_aux = {**ts.aux, "ema_g_params": ema}
 

@@ -30,7 +30,13 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 # --- conv+bn+relu unit ---------------------------------------------------------
 
 def _unit_init(key, kh, kw, cin, cout):
-    w = jax.random.truncated_normal(key, -2, 2, (kh, kw, cin, cout)) * 0.1
+    # He-scaled init, NOT torchvision's trunc_normal(std=0.1): that std
+    # assumes live batch-norm renormalizes each unit, but `_unit` applies
+    # BN as FIXED buffers (inference semantics — imported weights carry the
+    # running stats), so a from-scratch finetune (evaluate_iv3) needs the
+    # init itself to preserve activation scale through ~40 sequential units
+    std = jnp.sqrt(2.0 / (kh * kw * cin))
+    w = jax.random.truncated_normal(key, -2, 2, (kh, kw, cin, cout)) * std
     return {"w": w.astype(jnp.float32),
             "bn_scale": jnp.ones((cout,)), "bn_bias": jnp.zeros((cout,)),
             "bn_mean": jnp.zeros((cout,)), "bn_var": jnp.ones((cout,))}

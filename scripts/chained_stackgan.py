@@ -12,7 +12,7 @@ crops at the reference source geometry (76px for Stage-I, 304px for
 Stage-II) — the journey on real pixels.
 
 Run: python scripts/chained_stackgan.py [stage1_steps] [stage2_steps]
-     [synthetic|natural|natural16] [--ema[=0.999]] [--resume]
+     [synthetic|natural|natural16] [--ema[=0.999]] [--resume] [--s2-g2]
 ``--resume`` keeps the run dir and restores both stages from their latest
 checkpoints (stages snapshot every 1000 steps) — interrupted long runs
 continue instead of restarting.
@@ -45,7 +45,8 @@ N_CLASSES = 8
 
 
 def _cfg(model: str, image_size: int, root: str,
-         dataset: str = "synthetic", ema_decay: float = 0.0) -> Config:
+         dataset: str = "synthetic", ema_decay: float = 0.0,
+         g_steps: int = 1) -> Config:
     return Config(
         model=model,
         gan=GanConfig(),  # flagship dims: gf=128, df=64, z=100, embed=1024
@@ -58,7 +59,8 @@ def _cfg(model: str, image_size: int, root: str,
         # snapshot every 1000 steps: long Stage-II runs survive tunnel/process
         # interruptions via --resume (same lesson as train_progressive —
         # a wedged RPC at step 12150/15000 once cost the whole stage)
-        train=TrainConfig(batch_size=64, g_steps=1, lr_decay_epoch=10**6,
+        train=TrainConfig(batch_size=64, g_steps=g_steps,
+                          lr_decay_epoch=10**6,
                           summary_interval=50, sample_interval=10**9,
                           snapshot_interval=1000, ema_decay=ema_decay),
         data=DataConfig(dataset_name=dataset, image_size=image_size),
@@ -123,7 +125,8 @@ def _quality(t: Trainer, cfg: Config, ds) -> dict:
 
 def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
          root: str = ROOT, dataset: str = "synthetic",
-         ema_decay: float = 0.0, resume: bool = False) -> int:
+         ema_decay: float = 0.0, resume: bool = False,
+         stage2_g_steps: int = 1) -> int:
     if not resume:
         shutil.rmtree(root, ignore_errors=True)
     results = {}
@@ -138,7 +141,8 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
     t1.close()
 
     # ---- Stage-II 256px, frozen Stage-I restored from its checkpoint ----
-    cfg2 = _cfg("stackgan_stage2", 256, root, dataset, ema_decay)
+    cfg2 = _cfg("stackgan_stage2", 256, root, dataset, ema_decay,
+                g_steps=stage2_g_steps)
     ds256 = _dataset(256, dataset)
     t2 = _train(cfg2, ds256, stage2_steps, resume)
     results["stage2"] = _quality(t2, cfg2, ds256)
@@ -156,15 +160,23 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
 if __name__ == "__main__":
     ema = 0.0
     resume = False
+    s2_g = 1
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--ema"):
             ema = float(a.split("=", 1)[1]) if "=" in a else 0.999
         elif a == "--resume":
             resume = True
+        elif a == "--s2-g2":
+            # round-5 measured Stage-II recipe on natural pixels: g_steps=2
+            # keeps D off the saturation floor (BASELINE.md round-5 A/B:
+            # IS 5.78 -> 7.03, beats Stage-I) — opt-in; default stays the
+            # reference StackGAN schedule
+            s2_g = 2
         else:
             argv.append(a)
     s1 = int(argv[0]) if len(argv) > 0 else 3000
     s2 = int(argv[1]) if len(argv) > 1 else 3000
     dset = argv[2] if len(argv) > 2 else "synthetic"
-    sys.exit(main(s1, s2, dataset=dset, ema_decay=ema, resume=resume))
+    sys.exit(main(s1, s2, dataset=dset, ema_decay=ema, resume=resume,
+                  stage2_g_steps=s2_g))

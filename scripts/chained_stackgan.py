@@ -13,6 +13,7 @@ Stage-II) — the journey on real pixels.
 
 Run: python scripts/chained_stackgan.py [stage1_steps] [stage2_steps]
      [synthetic|natural|natural16] [--ema[=0.999]] [--resume] [--s2-g2]
+     [--traj[=1000]]
 ``--resume`` keeps the run dir and restores both stages from their latest
 checkpoints (stages snapshot every 1000 steps) — interrupted long runs
 continue instead of restarting.
@@ -87,14 +88,44 @@ def _dataset(image_size: int, dataset: str = "synthetic"):
                             embed_dim=1024, num_classes=N_CLASSES, seed=0)
 
 
-def _train(cfg: Config, ds, steps: int, resume: bool = False) -> Trainer:
+def _traj_hook(cfg: Config, ds, points: list, state: dict):
+    """Trainer eval_fn: quality-trajectory eval every eval_interval steps.
+
+    GAN quality is NOT monotone in steps — the round-5 15k g2 run rose to
+    IS 7.03 by 5k then collapsed to 4.31 by 15k (BASELINE.md round 5) — so
+    long runs need (a) the curve and (b) best-checkpoint selection.  On a
+    new best IS the hook snapshots the full TrainState into a dedicated
+    max_to_keep=1 manager (the rolling 5-deep training manager would evict
+    the peak) and writes the sample grid."""
+    from text_to_image_tpu.eval.synthetic_quality import evaluate
+    gen = make_generator_fn(cfg)
+    clf_cache = {}
+
+    def hook(trainer, step):
+        q = evaluate(gen, trainer.ts, cfg, ds,
+                     getattr(ds, "num_classes", N_CLASSES),
+                     clf_cache=clf_cache)
+        q = dict(q, step=step)
+        points.append(q)
+        print(f"[{cfg.model}] TRAJ {json.dumps(q)}", flush=True)
+        if q["is_mean"] > state.get("best", {}).get("is_mean", -1.0):
+            state["best"] = q
+            trainer.save_samples(step)
+            if state.get("ckpt") is not None:
+                state["ckpt"].save(step, jax.device_get(trainer.ts))
+
+    return hook
+
+
+def _train(cfg: Config, ds, steps: int, resume: bool = False,
+           eval_fn=None, eval_interval: int = 0) -> Trainer:
     t0 = time.time()
     t = Trainer(cfg, dataset=ds, restore=resume)
     print(f"[{cfg.model}] trainer ready in {time.time() - t0:.0f}s "
           f"(init + HBM staging); compiling step…", flush=True)
     start = int(jax.device_get(t.ts.step))
     t0 = time.time()
-    t.train(num_steps=steps)
+    t.train(num_steps=steps, eval_fn=eval_fn, eval_interval=eval_interval)
     dt = time.time() - t0
     ran = max(steps - start, 0)
     print(f"[{cfg.model}] {ran} steps (from {start}) in {dt:.0f}s "
@@ -126,7 +157,7 @@ def _quality(t: Trainer, cfg: Config, ds) -> dict:
 def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
          root: str = ROOT, dataset: str = "synthetic",
          ema_decay: float = 0.0, resume: bool = False,
-         stage2_g_steps: int = 1) -> int:
+         stage2_g_steps: int = 1, traj_interval: int = 0) -> int:
     if not resume:
         shutil.rmtree(root, ignore_errors=True)
     results = {}
@@ -144,15 +175,30 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
     cfg2 = _cfg("stackgan_stage2", 256, root, dataset, ema_decay,
                 g_steps=stage2_g_steps)
     ds256 = _dataset(256, dataset)
-    t2 = _train(cfg2, ds256, stage2_steps, resume)
+    eval_fn, points, tstate = None, [], {}
+    if traj_interval > 0:
+        from text_to_image_tpu.train.checkpoint import CheckpointManager
+        tstate["ckpt"] = CheckpointManager(
+            os.path.abspath(os.path.join(root, "ck", "stackgan_stage2",
+                                         dataset + "_best")), max_to_keep=1)
+        eval_fn = _traj_hook(cfg2, ds256, points, tstate)
+    t2 = _train(cfg2, ds256, stage2_steps, resume,
+                eval_fn=eval_fn, eval_interval=traj_interval)
     results["stage2"] = _quality(t2, cfg2, ds256)
     print(f"[stage2] {results['stage2']}", flush=True)
     grid = t2.save_samples(stage2_steps)
     print(f"[stage2] grid: {grid}", flush=True)
     t2.close()
+    if points:
+        results["stage2_traj"] = points
+        results["stage2_best"] = tstate["best"]
+        tstate["ckpt"].close()
+        print(f"[stage2] BEST over trajectory: {tstate['best']} "
+              f"(final: {results['stage2']})", flush=True)
 
     print("CHAINED RESULT " + json.dumps(results), flush=True)
-    ok = (results["stage2"]["r"] > 0.9 and results["stage2"]["is_mean"] > 4.0)
+    s2 = results.get("stage2_best", results["stage2"])
+    ok = (s2["r"] > 0.9 and s2["is_mean"] > 4.0)
     print("CHAINED PASS" if ok else "CHAINED FAIL", flush=True)
     return 0 if ok else 1
 
@@ -161,10 +207,15 @@ if __name__ == "__main__":
     ema = 0.0
     resume = False
     s2_g = 1
+    traj = 0
     argv = []
     for a in sys.argv[1:]:
         if a.startswith("--ema"):
             ema = float(a.split("=", 1)[1]) if "=" in a else 0.999
+        elif a.startswith("--traj"):
+            # Stage-II quality trajectory: eval every N steps (default 1000),
+            # keep the best-IS checkpoint/grid — see _traj_hook
+            traj = int(a.split("=", 1)[1]) if "=" in a else 1000
         elif a == "--resume":
             resume = True
         elif a == "--s2-g2":
@@ -179,4 +230,4 @@ if __name__ == "__main__":
     s2 = int(argv[1]) if len(argv) > 1 else 3000
     dset = argv[2] if len(argv) > 2 else "synthetic"
     sys.exit(main(s1, s2, dataset=dset, ema_decay=ema, resume=resume,
-                  stage2_g_steps=s2_g))
+                  stage2_g_steps=s2_g, traj_interval=traj))

@@ -220,3 +220,44 @@ def test_natural16_factory_and_determinism():
     assert d.num_classes == len(natural.ANCHORS16)
     d2 = get_dataset(cfg)
     assert np.array_equal(d.images, d2.images)
+
+
+@pytest.mark.slow
+def test_synthetic_quality_clf_cache_reuses_classifier():
+    """Passing the same clf_cache dict across evaluate() calls finetunes the
+    eval classifier ONCE — trajectory evals need one consistent instrument
+    (scripts/chained_stackgan.py --traj)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from text_to_image_tpu.config import Config
+    from text_to_image_tpu.eval import synthetic_quality as sq
+    from text_to_image_tpu.train.state import TrainState
+
+    d = natural.NaturalPhotoDataset(examples_per_class=8, image_size=64,
+                                    embed_dim=32, seed=0)
+    cfg = Config()
+    cfg = cfg.replace(gan=dataclasses.replace(cfg.gan, z_dim=8, embed_dim=32))
+
+    def gen(g_params, g_state, aux, z, e, key):
+        return jnp.zeros((e.shape[0], 64, 64, 3))
+
+    ts = TrainState(g_params={}, g_state={}, d_params={}, d_state={},
+                    g_opt=None, d_opt=None, step=jnp.int32(0))
+    calls = []
+    real_train = sq.train_classifier
+
+    def counting_train(*a, **kw):
+        calls.append(1)
+        return real_train(*a, **kw)
+
+    cache = {}
+    try:
+        sq.train_classifier = counting_train
+        q1 = sq.evaluate(gen, ts, cfg, d, num_classes=8, num_images=128,
+                         clf_cache=cache)
+        q2 = sq.evaluate(gen, ts, cfg, d, num_classes=8, num_images=128,
+                         clf_cache=cache)
+    finally:
+        sq.train_classifier = real_train
+    assert len(calls) == 1
+    assert q1["clf_acc"] == q2["clf_acc"]

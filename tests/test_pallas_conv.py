@@ -249,3 +249,51 @@ def test_upconv_halo_gradients_match_lax():
     for name, a_, b_ in zip("xwb", gk, gl):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-4,
                                    atol=1e-4, err_msg=f"grad {name}")
+
+
+@pytest.mark.parametrize("shape,co", [((2, 4, 4, 16), 8),
+                                      ((3, 8, 8, 8), 16),
+                                      ((2, 5, 7, 4), 8)])   # odd spatial
+@pytest.mark.parametrize("act", ["none", "relu", "tanh"])
+def test_upconv_s2d_forward_matches_lax(shape, co, act):
+    """The space-to-depth lax formulation (depth_to_space ∘ conv3x3(x, W'))
+    equals the up2_nearest+conv3x3 composition exactly."""
+    cin = shape[-1]
+    x = jax.random.normal(KEY, shape)
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, cin, co)) * 0.1
+    s = jax.random.normal(jax.random.fold_in(KEY, 2), (co,)) * 0.3 + 1.0
+    t = jax.random.normal(jax.random.fold_in(KEY, 3), (co,)) * 0.2
+    got = K.upconv3x3_s2d(x, w, s, t, act)
+    ref = _lax_upconv_ref(x, w, s, t, act)
+    assert got.shape == (shape[0], 2 * shape[1], 2 * shape[2], co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_upconv_s2d_gradients_match_lax():
+    """Pure-lax path: XLA's own VJP through the W' transform must equal the
+    composition's VJP in every array arg (incl. through _s2d_upconv_weights
+    and the combine map)."""
+    x = jax.random.normal(KEY, (2, 4, 4, 8))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, 8, 8)) * 0.1
+    s = jnp.ones((8,)) * 1.3
+    t = jnp.zeros((8,)) + 0.1
+    ct = jax.random.normal(jax.random.fold_in(KEY, 2), (2, 8, 8, 8))
+    gk = jax.grad(lambda *a: jnp.sum(K.upconv3x3_s2d(*a, "relu") * ct),
+                  argnums=(0, 1, 2, 3))(x, w, s, t)
+    gl = jax.grad(lambda *a: jnp.sum(_lax_upconv_ref(*a, "relu") * ct),
+                  argnums=(0, 1, 2, 3))(x, w, s, t)
+    for name, a_, b_ in zip("xwst", gk, gl):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"grad {name}")
+
+
+def test_upconv_s2d_bias_matches():
+    x = jax.random.normal(KEY, (2, 6, 6, 8))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 3, 8, 8)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(KEY, 2), (8,)) * 0.1
+    ones = jnp.ones((8,))
+    got = K.upconv3x3_s2d_bias(x, w, b, "lrelu")
+    ref = _lax_upconv_ref(x, w, ones, b, "lrelu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

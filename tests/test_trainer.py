@@ -81,3 +81,20 @@ def test_trainer_wgancls_end_to_end(tmp_path):
         assert "gp" in last and np.isfinite(last["gp"])
     finally:
         t.close()
+
+
+def test_trainer_eval_fn_hook(run_cfg):
+    """eval_fn fires every eval_interval steps (never step 0), sees the
+    live Trainer — the trajectory-eval hook behind best-checkpoint
+    selection (scripts/chained_stackgan.py --traj)."""
+    env = create_mesh(data=8, model=1)
+    t = Trainer(run_cfg, env=env)
+    calls = []
+    try:
+        t.train(num_steps=6,
+                eval_fn=lambda tr, step: calls.append(
+                    (step, int(np.asarray(tr.ts.step)))),
+                eval_interval=2)
+    finally:
+        t.close()
+    assert calls == [(2, 2), (4, 4), (6, 6)]

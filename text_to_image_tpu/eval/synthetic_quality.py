@@ -26,8 +26,14 @@ from text_to_image_tpu.eval.sampler import eval_g_params
 
 
 def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
-             num_images: int = 1280) -> Dict[str, float]:
-    """gen = make_generator_fn(cfg); ts = TrainState; ds = SyntheticDataset."""
+             num_images: int = 1280, clf_cache: dict = None
+             ) -> Dict[str, float]:
+    """gen = make_generator_fn(cfg); ts = TrainState; ds = SyntheticDataset.
+
+    ``clf_cache``: pass the same dict across calls to finetune the eval
+    classifier ONCE and reuse it — trajectory evals (Trainer eval_fn hook)
+    need one consistent instrument, and the real images it trains on don't
+    change between calls."""
     z0 = jnp.broadcast_to(
         jax.random.normal(jax.random.PRNGKey(0), (cfg.gan.z_dim,)),
         (num_classes, cfg.gan.z_dim))
@@ -51,8 +57,13 @@ def evaluate(gen, ts, cfg, ds, num_classes: int = 8,
     if src != out:
         o = (src - out) // 2
         clf_images = clf_images[:, o:o + out, o:o + out]
-    clf_params, acc = train_classifier(clf_images, ds.class_ids, num_classes,
-                                       steps=300)
+    if clf_cache is not None and out in clf_cache:
+        clf_params, acc = clf_cache[out]
+    else:
+        clf_params, acc = train_classifier(clf_images, ds.class_ids,
+                                           num_classes, steps=300)
+        if clf_cache is not None:
+            clf_cache[out] = (clf_params, acc)
     clf = make_classifier_fn(clf_params)
     is_mean, is_std = compute_inception_score(
         lambda z, e, kk: gen(eval_g_params(ts), ts.g_state, ts.aux, z, e, kk),

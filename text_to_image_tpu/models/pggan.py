@@ -186,6 +186,13 @@ def generator_apply(params: Dict, z, emb, key, stage: int, alpha,
             eq = math.sqrt(2.0) / math.sqrt(k * k * cin)
             h = pconv.upconv3x3_bias(h, pa["w"] * eq, pa["b"], "lrelu")
             h = pixel_norm(h)
+        elif fused.use_upconv_s2d(h.shape, pa["w"].shape[-1]):
+            # space-to-depth lax formulation for the channel-thin maps the
+            # Pallas table leaves to XLA (fused._upconv_s2d_wins)
+            k, _, cin, co = pa["w"].shape
+            eq = math.sqrt(2.0) / math.sqrt(k * k * cin)
+            h = pconv.upconv3x3_s2d_bias(h, pa["w"] * eq, pa["b"], "lrelu")
+            h = pixel_norm(h)
         else:
             h = L.upsample_nearest(h)
             h = pixel_norm(L.lrelu(_eq_conv(pa, h)))

@@ -76,6 +76,10 @@ def _up_block(p: Dict, s: Dict, x: jax.Array, train: bool
     w = p["conv"]["w"]
     if fused.use_upconv(x.shape, w.shape[-1], bn_follows=True):
         x = pconv.upconv3x3_bias(x, w, p["conv"]["b"], "none")
+    elif fused.use_upconv_s2d(x.shape, w.shape[-1], bn_follows=True):
+        # pure-lax space-to-depth formulation: no custom-VJP boundary, so
+        # the joint conv+BN fusion survives (see fused._upconv_s2d_wins)
+        x = pconv.upconv3x3_s2d_bias(x, w, p["conv"]["b"], "none")
     else:
         x = L.upsample_nearest(x, 2)
         x = L.conv2d(p["conv"], x, stride=1)

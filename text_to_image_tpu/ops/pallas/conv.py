@@ -468,6 +468,65 @@ def _lax_upconv(x, w, s, t, act):
     return _ACTS[act](y).astype(x.dtype)
 
 
+# ---- space-to-depth lax formulation (channel-thin large maps) ----------------
+#
+# The same parity collapse that drives the Pallas kernels can be handed to
+# XLA whole: conv3x3(up2_nearest(x), w) == depth_to_space(conv3x3(x, W'))
+# with W'[u, v, :, (py, px, co)] = Σ wc[py, px, a, b] over the taps (a, b)
+# whose padded-input shift matches (u, v) (5/9 of each parity block is
+# structurally zero).  Three properties make this the right form for the
+# channel-thin high-res layers the round-5 serve sweep identified as the
+# serving bound (BASELINE.md round 5, ~950 img/s flat at 6% MXU):
+#   * the 4x-upsampled tensor never exists in HBM (XLA's native lowering of
+#     up+conv materializes it — 537 MB at 128x128x64, B=64);
+#   * the contraction writes 4*co channels at h x w — full 128-lane MXU
+#     tiles where co<=32 layers otherwise run quarter-occupied;
+#   * it is pure lax — no custom-VJP boundary, so XLA differentiates it and
+#     fuses it jointly with a following BatchNorm (the boundary that makes
+#     the Pallas kernels lose in bn_follows training graphs, round-4 A/B).
+# MACs are 36/36 of the naive composition (zero-placed taps still multiply)
+# vs the Pallas kernels' 16/36 — the bet, measured per shape in
+# scripts/bench_pallas.py --upconv, is occupancy over MAC count.
+
+def _s2d_upconv_weights(w):
+    """[3,3,ci,co] → [3,3,ci,4co], output channels (py, px, co)-major."""
+    wc = _combine_upconv_weights(w)                     # [2,2,2,2,ci,co]
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, ci, 4 * co), wc.dtype)
+    for py in (0, 1):
+        for px in (0, 1):
+            for a in (0, 1):
+                for b2 in (0, 1):
+                    u, v = _UPCONV_TAPS[py][a], _UPCONV_TAPS[px][b2]
+                    c0 = (py * 2 + px) * co
+                    out = out.at[u, v, :, c0:c0 + co].set(wc[py, px, a, b2])
+    return out
+
+
+def upconv3x3_s2d(x, w, scale, shift, act: str = "none"):
+    """``act(conv3x3(upsample2_nearest(x))·scale + shift)`` in
+    space-to-depth form — pure lax, mathematically identical to
+    `upconv3x3` / `_lax_upconv` (equivalence-tested fwd+grad in
+    tests/test_pallas_conv.py)."""
+    b, h, wd, _ = x.shape
+    co = w.shape[-1]
+    wp = _s2d_upconv_weights(w.astype(x.dtype))
+    y4 = lax.conv_general_dilated(x, wp, (1, 1), "SAME",
+                                  dimension_numbers=_DIMS,
+                                  preferred_element_type=x.dtype)
+    s4 = jnp.tile(scale.reshape(1, -1).astype(jnp.float32), (1, 4))
+    t4 = jnp.tile(shift.reshape(1, -1).astype(jnp.float32), (1, 4))
+    y4 = _ACTS[act](y4.astype(jnp.float32) * s4 + t4).astype(x.dtype)
+    y4 = y4.reshape(b, h, wd, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    return y4.reshape(b, 2 * h, 2 * wd, co)
+
+
+def upconv3x3_s2d_bias(x, w, bias, act: str = "none"):
+    """Bias-epilogue variant of `upconv3x3_s2d` (BN follows outside)."""
+    return upconv3x3_s2d(x, w, jnp.ones((w.shape[-1],), jnp.float32),
+                         bias.astype(jnp.float32), act)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _upconv_op(x, w, scale, shift, act: str):
     b, h, wd, cin = x.shape

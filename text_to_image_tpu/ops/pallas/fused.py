@@ -175,6 +175,50 @@ def use_upconv(x_shape, co: int, bn_follows: bool = False) -> bool:
     return mode == "on"
 
 
+def _upconv_s2d_wins(x_shape, co: int, bn_follows: bool = False) -> bool:
+    """Shapes where the space-to-depth LAX formulation of the up-block
+    (conv.upconv3x3_s2d: depth_to_space ∘ conv3x3(x, W'), no 4x-upsampled
+    intermediate, 4co-channel contraction) beats BOTH plain lax and the
+    Pallas kernels on v5e (round-5 measurements, BASELINE.md).
+
+    TRAINING: NEVER — measured end-to-end losses in BOTH flagship training
+    graphs despite standalone fwd+bwd microbench wins of −45…−68% at the
+    thin shapes (Stage-II 256px: s2d 136.7 vs off 117.0 ms; PGGAN stage-7:
+    632.4 vs 593.0 ms — `runs/r5/s2d_traingraph.log`).  The depth_to_space
+    transpose is a materialization boundary XLA cannot fuse through, and in
+    a training graph it severs the joint fwd+bwd fusions (conv+BN-stats /
+    conv+pixel_norm) that make the plain composition fast — the same lesson
+    the Pallas custom-VJP boundary taught in round 4, now measured for a
+    pure-lax rewrite too.
+
+    INFERENCE: ALSO NEVER — the standalone fwd microbench wins are large
+    (128×128×64→32: 6.38→1.90 ms, −70%; 64×64×128→64: 0.997 vs halo 1.192)
+    but the serving-graph A/B reverses them wholesale: the PGGAN 256px
+    generator forward got SLOWER at every batch (B32 34.5→39.6 ms, B512
+    537.7→802.9 ms — `runs/r5/serve_sweep_s2d.json` vs `serve_sweep.json`).
+    In isolation the op is measured against nothing downstream; in the
+    graph the naive up+conv composition fuses with its producer/consumer
+    while the s2d transpose materializes (and pays 36/36 MACs vs the
+    composition's effective cost after fusion).  The formulation, its
+    equivalence/gradient tests, and the bench modes stay in the tree as
+    the documented negative — the dispatch table ships what the graphs
+    measured: nothing."""
+    return False
+
+
+def use_upconv_s2d(x_shape, co: int, bn_follows: bool = False) -> bool:
+    """Dispatch predicate for the space-to-depth lax up-block formulation.
+    Call sites check `use_upconv` FIRST (Pallas keeps its measured wins);
+    mode 'off' forces the plain lax composition everywhere (the A/B
+    baseline), 'on' forces the Pallas kernels — s2d participates only in
+    'auto', where every routing is measurement-backed."""
+    if jax.default_backend() != "tpu":
+        return False
+    if _MODE.get() != "auto":
+        return False
+    return _upconv_s2d_wins(x_shape, co, bn_follows)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 

@@ -153,7 +153,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def train(self, num_steps: Optional[int] = None) -> None:
+    def train(self, num_steps: Optional[int] = None,
+              eval_fn=None, eval_interval: int = 0) -> None:
+        """Run to ``num_steps`` (absolute).  ``eval_fn(trainer, step)`` is
+        called every ``eval_interval`` steps (and never at step 0) — the hook
+        for task-specific quality trajectories / best-checkpoint selection
+        (GAN quality is NOT monotone in steps; the 15k Stage-II natural run
+        measured a rise-then-collapse, BASELINE.md round 5)."""
         cfg = self.cfg
         total = (num_steps if num_steps is not None
                  else cfg.train.max_epoch * self.steps_per_epoch)
@@ -195,6 +201,9 @@ class Trainer:
                 self.save_samples(i + 1)
             if (i + 1) % cfg.train.snapshot_interval == 0:
                 self.save_checkpoint()
+            if eval_fn is not None and eval_interval > 0 \
+                    and (i + 1) % eval_interval == 0:
+                eval_fn(self, i + 1)
         self.save_checkpoint()
         if self.pipeline is not None:
             self.pipeline.close()

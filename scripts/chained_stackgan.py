@@ -113,6 +113,12 @@ def _traj_hook(cfg: Config, ds, points: list, state: dict):
             trainer.save_samples(step)
             if state.get("ckpt") is not None:
                 state["ckpt"].save(step, jax.device_get(trainer.ts))
+                # persist the best record beside the checkpoint so --resume
+                # seeds it: otherwise a resumed run starts with best=None and
+                # its first eval clobbers the true peak's checkpoint
+                with open(os.path.join(state["ckpt"].directory,
+                                       "best.json"), "w") as f:
+                    json.dump(q, f)
 
     return hook
 
@@ -181,6 +187,13 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
         tstate["ckpt"] = CheckpointManager(
             os.path.abspath(os.path.join(root, "ck", "stackgan_stage2",
                                          dataset + "_best")), max_to_keep=1)
+        best_json = os.path.join(tstate["ckpt"].directory, "best.json")
+        if resume and os.path.exists(best_json):
+            with open(best_json) as f:
+                tstate["best"] = json.load(f)
+            points.append(dict(tstate["best"], resumed_seed=True))
+            print(f"[stage2] resume: seeded best from {best_json}: "
+                  f"{tstate['best']}", flush=True)
         eval_fn = _traj_hook(cfg2, ds256, points, tstate)
     t2 = _train(cfg2, ds256, stage2_steps, resume,
                 eval_fn=eval_fn, eval_interval=traj_interval)

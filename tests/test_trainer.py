@@ -98,3 +98,52 @@ def test_trainer_eval_fn_hook(run_cfg):
     finally:
         t.close()
     assert calls == [(2, 2), (4, 4), (6, 6)]
+
+
+def test_traj_hook_persists_best_json_for_resume(tmp_path, monkeypatch):
+    """The --traj best-checkpoint hook writes best.json beside the best
+    checkpoint on every new IS peak (and ONLY on a peak), so a --resume'd
+    run seeds its best record instead of clobbering the true peak's
+    checkpoint with its first (worse) eval."""
+    import importlib.util
+    import json as _json
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "chained_stackgan",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "chained_stackgan.py"))
+    cs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cs)
+
+    from text_to_image_tpu.eval import synthetic_quality as sq
+    from text_to_image_tpu.train.checkpoint import CheckpointManager
+
+    seq = iter([{"is_mean": 5.0, "cond_acc": 0.5},
+                {"is_mean": 4.0, "cond_acc": 0.9},   # worse: no overwrite
+                {"is_mean": 6.0, "cond_acc": 0.7}])
+    monkeypatch.setattr(sq, "evaluate", lambda *a, **kw: dict(next(seq)))
+
+    cfg = tiny_config("gancls")
+    ds = types.SimpleNamespace(num_classes=4)
+    mgr = CheckpointManager(str(tmp_path / "best"), max_to_keep=1)
+    points, state = [], {"ckpt": mgr}
+    hook = cs._traj_hook(cfg, ds, points, state)
+
+    saved = []
+    trainer = types.SimpleNamespace(
+        ts={"w": np.zeros(2, np.float32)},
+        save_samples=lambda step: saved.append(step))
+    best_json = os.path.join(mgr.directory, "best.json")
+
+    hook(trainer, 1)
+    assert _json.load(open(best_json))["step"] == 1
+    hook(trainer, 2)  # worse IS: best.json untouched
+    assert _json.load(open(best_json))["step"] == 1
+    hook(trainer, 3)
+    rec = _json.load(open(best_json))
+    assert rec["step"] == 3 and rec["is_mean"] == 6.0
+    assert saved == [1, 3] and len(points) == 3
+    # the --resume seed path reads this file back as the starting best
+    assert rec == state["best"]
+    mgr.close()

@@ -42,6 +42,10 @@ class CheckpointManager:
                 enable_async_checkpointing=async_save),
         )
 
+    @property
+    def directory(self) -> str:
+        return self._dir
+
     def save(self, step: int, ts: TrainState) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(ts))
         if not self._async:

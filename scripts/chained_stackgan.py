@@ -197,7 +197,14 @@ def main(stage1_steps: int = 3000, stage2_steps: int = 3000,
         eval_fn = _traj_hook(cfg2, ds256, points, tstate)
     t2 = _train(cfg2, ds256, stage2_steps, resume,
                 eval_fn=eval_fn, eval_interval=traj_interval)
-    results["stage2"] = _quality(t2, cfg2, ds256)
+    if points and points[-1].get("step") == stage2_steps:
+        # --traj already evaluated the final step with the run's shared
+        # instrument; a redundant fresh-classifier eval here adds ~5 min
+        # and once wedged on a tunnel RPC (2026-08-20, after 15k steps)
+        results["stage2"] = {k: v for k, v in points[-1].items()
+                             if k != "step"}
+    else:
+        results["stage2"] = _quality(t2, cfg2, ds256)
     print(f"[stage2] {results['stage2']}", flush=True)
     grid = t2.save_samples(stage2_steps)
     print(f"[stage2] grid: {grid}", flush=True)
